@@ -1,0 +1,166 @@
+"""TTSOutput — audio output container with integrated utilities.
+
+Public surface mirrors the reference (common/definitions/output.py): numpy
+waveform + sample rate, `combine_outputs`, byte/format conversion, save,
+resample, phase-vocoder speed change, playback helpers. Conversions are
+first-party (WAV/PCM natively; compressed codecs raise a clear error because
+the image ships no encoder).
+"""
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from . import audio_io
+from .dsp_np import istft_np, phase_vocoder, stft_np
+
+
+@dataclass
+class TTSOutput:
+    """Container for TTS inference output with integrated audio utilities."""
+
+    array: Union[np.ndarray, bytes]
+    sample_rate: int = 24000
+    bit_depth: int = 32
+    bit_rate: int = 192  # kbps (kept for API compatibility)
+    compression: int = 10
+    channel: int = 1
+
+    start_time: Optional[float] = None
+    end_time: Optional[float] = None
+    token_length: Optional[int] = None
+
+    def __post_init__(self):
+        if isinstance(self.array, bytes):
+            pcm = np.frombuffer(self.array, dtype=np.int16).astype(np.float32) / 32768.0
+            fade_len = min(100, len(pcm))
+            fade = np.ones(len(pcm), dtype=np.float32)
+            fade[:fade_len] = np.linspace(0, 1, fade_len)
+            self.array = pcm * fade
+
+    # ------------------------------------------------------------- transforms
+    def change_speed(self, speed_factor: float) -> "TTSOutput":
+        """Phase-vocoder time stretch; >1.0 speeds up, <1.0 slows down."""
+        if speed_factor <= 0:
+            raise ValueError("Speed factor must be positive")
+        if speed_factor == 1.0:
+            return self
+        wav = np.asarray(self.array, dtype=np.float32)
+        n_fft, hop = 2048, 512
+        D = stft_np(wav, n_fft=n_fft, hop=hop)
+        D2 = phase_vocoder(D, rate=speed_factor, hop=hop)
+        out = istft_np(D2, n_fft=n_fft, hop=hop)
+        peak = np.abs(out).max()
+        if peak > 0:
+            out = out / peak
+        return TTSOutput(array=out.astype(np.float32), sample_rate=self.sample_rate)
+
+    def resample(self, new_sample_rate: int) -> "TTSOutput":
+        from ..ops.resample import resample_np
+
+        wav = np.asarray(self.array, dtype=np.float32)
+        out = resample_np(wav[None], self.sample_rate, new_sample_rate)[0]
+        return TTSOutput(array=out, sample_rate=new_sample_rate)
+
+    @staticmethod
+    def combine_outputs(outputs: List["TTSOutput"]) -> "TTSOutput":
+        """Concatenate chunks (all at the first chunk's sample rate)."""
+        combined = np.concatenate([np.asarray(o.array) for o in outputs])
+        return TTSOutput(array=combined, sample_rate=outputs[0].sample_rate)
+
+    # ------------------------------------------------------------ conversions
+    def to_bytes(self, format: str = "wav", sample_width: int = 2) -> bytes:
+        """Serialize to 'wav' or raw 'pcm'. Compressed codecs (mp3/opus/aac/
+        flac) are not available in this environment and raise."""
+        wav = np.clip(np.asarray(self.array, dtype=np.float32), -1.0, 1.0)
+        if format == "wav":
+            buf = io.BytesIO()
+            audio_io.write_wav(buf, wav, self.sample_rate, sample_width=sample_width)
+            return buf.getvalue()
+        if format == "pcm":
+            if sample_width == 2:
+                return (wav * 32767).astype("<i2").tobytes()
+            if sample_width == 4:
+                return (wav * 2147483647).astype("<i4").tobytes()
+            return (wav * 127).astype(np.int8).tobytes()
+        if format in ("mp3", "opus", "aac", "flac"):
+            raise ValueError(
+                f"No {format} encoder is available in this environment; "
+                "use format='wav' or 'pcm'"
+            )
+        raise ValueError(
+            f"Unsupported format: {format}. Supported formats are: wav, pcm "
+            "(mp3/opus/aac/flac need an external encoder)"
+        )
+
+    def save(
+        self,
+        filename: Union[str, Path],
+        sample_rate: Optional[int] = None,
+        format: Optional[str] = None,
+    ) -> None:
+        out = self
+        if sample_rate and sample_rate != self.sample_rate:
+            out = self.resample(sample_rate)
+        fmt = format or Path(filename).suffix.lstrip(".").lower() or "wav"
+        if fmt != "wav":
+            Path(filename).write_bytes(out.to_bytes(format=fmt))
+            return
+        audio_io.write_wav(
+            filename,
+            np.asarray(out.array, dtype=np.float32),
+            out.sample_rate,
+            sample_width=4 if self.bit_depth == 32 else 2,
+        )
+
+    # -------------------------------------------------------------- metadata
+    def get_info(self) -> Tuple[int, int, float]:
+        n = len(self.array)
+        return n, self.sample_rate, n / self.sample_rate
+
+    @classmethod
+    def from_file(cls, filename: Union[str, Path]) -> "TTSOutput":
+        audio, sr = audio_io.read_wav(filename)
+        return cls(array=audio.squeeze(), sample_rate=sr)
+
+    @classmethod
+    def from_array(cls, array, sample_rate: int = 24000) -> "TTSOutput":
+        return cls(array=np.asarray(array).squeeze(), sample_rate=sample_rate)
+
+    # API-compat alias (reference exposes from_tensor for torch tensors)
+    from_tensor = from_array
+
+    # --------------------------------------------------------------- playback
+    def play(self) -> None:
+        """Play through the default sound device (needs `sounddevice`)."""
+        try:
+            import sounddevice as sd  # optional, not in the base image
+        except ImportError as e:
+            raise RuntimeError(
+                "Audio playback requires the optional 'sounddevice' package"
+            ) from e
+        wav = np.clip(np.asarray(self.array, dtype=np.float32), -1.0, 1.0)
+        sd.play(wav, self.sample_rate, blocksize=2048)
+        sd.wait()
+
+    def display(self):
+        """Render a Jupyter audio widget when IPython is available."""
+        try:
+            from IPython.display import Audio, display as ipy_display
+        except ImportError:
+            return None
+        widget = Audio(self.to_bytes("wav"), rate=self.sample_rate, autoplay=False)
+        ipy_display(widget)
+        return widget
+
+    def preview(self) -> None:
+        """Display in a notebook if possible, else play on the sound device."""
+        try:
+            if self.display() is None:
+                self.play()
+        except Exception as e:  # playback is best-effort
+            print(f"Error playing audio: {e}")

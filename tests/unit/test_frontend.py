@@ -1,0 +1,174 @@
+"""Frontend tests: language id, cleaners, sentence chunking, transliteration,
+tokenizer (with a tiny in-memory BPE)."""
+import json
+
+import pytest
+
+from auralis_tpu.frontend.langid import detect_language
+from auralis_tpu.frontend.cleaners import (
+    expand_numbers,
+    multilingual_cleaners,
+    japanese_cleaners,
+    preprocess_text,
+)
+from auralis_tpu.frontend.sentence import split_into_sentences, split_text_into_chunks
+from auralis_tpu.frontend.transliterate import hangul_to_latin, kana_to_romaji, ja_number_to_romaji
+from auralis_tpu.frontend.zh_numwords import TextNorm, int_to_hanzi
+
+
+# --------------------------------------------------------------- language id
+@pytest.mark.parametrize(
+    "text,lang",
+    [
+        ("The quick brown fox jumps over the lazy dog and runs away.", "en"),
+        ("El rápido zorro marrón salta sobre el perro perezoso y se va.", "es"),
+        ("Le renard brun rapide saute par-dessus le chien paresseux.", "fr"),
+        ("Der schnelle braune Fuchs springt über den faulen Hund.", "de"),
+        ("La volpe marrone salta sopra il cane pigro e scappa via.", "it"),
+        ("这是一个简单的中文句子。", "zh-cn"),
+        ("これは簡単な日本語の文章です。", "ja"),
+        ("이것은 간단한 한국어 문장입니다.", "ko"),
+        ("Это простое русское предложение для проверки.", "ru"),
+        ("هذه جملة عربية بسيطة للاختبار.", "ar"),
+    ],
+)
+def test_detect_language(text, lang):
+    assert detect_language(text) == lang
+
+
+# ------------------------------------------------------------------ cleaners
+def test_expand_numbers_english():
+    assert expand_numbers("I have 3 cats", "en") == "I have three cats"
+    assert expand_numbers("the 2nd time", "en") == "the second time"
+    assert expand_numbers("$3.50 please", "en") == "three dollars, fifty cents please"
+    assert expand_numbers("pi is 3.14", "en") == "pi is three point one four"
+    assert expand_numbers("1,000 people", "en") == "one thousand people"
+
+
+def test_multilingual_cleaners_english():
+    out = multilingual_cleaners('Dr. Smith said "hello" to Mr. Jones at 5%', "en")
+    assert out == "doctor smith said hello to mister jones at five percent"
+
+
+def test_multilingual_cleaners_spanish():
+    assert multilingual_cleaners("Tengo 21 gatos", "es") == "tengo veintiuno gatos"
+
+
+def test_chinese_numbers():
+    assert int_to_hanzi(123) == "一百二十三"
+    assert int_to_hanzi(10) == "十"
+    assert int_to_hanzi(105) == "一百零五"
+    assert int_to_hanzi(10005) == "一万零五"
+    norm = TextNorm()
+    assert norm("我有3只猫") == "我有三只猫"
+    assert norm("50%的人") == "百分之五十的人"
+
+
+# ------------------------------------------------------------------ sentence
+def test_split_into_sentences():
+    sents = split_into_sentences("Hello world. How are you? I am fine!")
+    assert sents == ["Hello world.", "How are you?", "I am fine!"]
+
+
+def test_sentences_abbreviation_guard():
+    sents = split_into_sentences("Dr. Smith arrived. He was late.")
+    assert len(sents) == 2
+    assert sents[0] == "Dr. Smith arrived."
+
+
+def test_chunking_respects_limit():
+    text = " ".join(
+        f"This is sentence number {i} with some padding words." for i in range(40)
+    )
+    chunks = split_text_into_chunks(text, max_length=120)
+    assert all(len(c) <= 130 for c in chunks)
+    # nothing lost: word count preserved
+    assert sum(len(c.split()) for c in chunks) == len(text.split())
+
+
+def test_chunking_very_long_sentence():
+    text = "word " * 200  # single 1000-char "sentence" with no punctuation
+    chunks = split_text_into_chunks(text.strip(), max_length=100)
+    assert all(len(c) <= 131 for c in chunks)
+    assert sum(len(c.split()) for c in chunks) == 200
+
+
+def test_short_text_single_chunk():
+    # short text is returned as-is (no chunking, no softening)
+    assert split_text_into_chunks("Hi there.", max_length=250) == ["Hi there."]
+
+
+# ------------------------------------------------------------ transliterate
+def test_kana_to_romaji():
+    assert kana_to_romaji("こんにちは") == "konnichiha"
+    assert kana_to_romaji("カタカナ") == "katakana"
+    assert kana_to_romaji("きょう") == "kyou"
+    assert kana_to_romaji("がっこう") == "gakkou"  # sokuon gemination
+    assert kana_to_romaji("コーヒー") == "koohii"  # long-vowel mark
+
+
+def test_hangul_to_latin():
+    assert hangul_to_latin("한국") == "hanguk"
+    assert hangul_to_latin("안녕") == "annyeong"
+
+
+def test_ja_numbers():
+    assert ja_number_to_romaji(1) == "ichi"
+    assert ja_number_to_romaji(300) == "sanbyaku"
+    assert ja_number_to_romaji(600) == "roppyaku"
+    assert ja_number_to_romaji(3000) == "sanzen"
+    assert ja_number_to_romaji(10000) == "ichi man"
+    assert japanese_cleaners("こんにちは 3") == "konnichiha san"
+
+
+def test_preprocess_korean_romanizes():
+    out = preprocess_text("안녕하세요", "ko")
+    assert out.isascii()
+
+
+# ------------------------------------------------------------------ tokenizer
+@pytest.fixture(scope="module")
+def tiny_tokenizer(tmp_path_factory):
+    """Build a tiny BPE with the XTTS special tokens."""
+    from tokenizers import Tokenizer, models, trainers
+    from auralis_tpu.frontend.tokenizer import TTSTokenizer
+
+    tok = Tokenizer(models.BPE(unk_token="[UNK]"))
+    trainer = trainers.BpeTrainer(
+        vocab_size=400,
+        special_tokens=["[PAD]", "[UNK]", "[START]", "[STOP]", "[SPACE]",
+                        "[en]", "[es]", "[de]", "[fr]", "[it]", "[ja]", "[ko]", "[zh-cn]"],
+    )
+    corpus = [
+        "hello[SPACE]world[SPACE]this[SPACE]is[SPACE]a[SPACE]test",
+        "the[SPACE]quick[SPACE]brown[SPACE]fox",
+        "one[SPACE]two[SPACE]three[SPACE]four[SPACE]five",
+        "abcdefghijklmnopqrstuvwxyz0123456789.,!?'",
+    ]
+    tok.train_from_iterator(corpus, trainer)
+    return TTSTokenizer(tok)
+
+
+def test_tokenizer_encode_roundtrip(tiny_tokenizer):
+    ids = tiny_tokenizer.encode("Hello world", "en")
+    assert isinstance(ids, list) and len(ids) > 0
+    assert tiny_tokenizer.bos_token_id is not None
+    assert tiny_tokenizer.eos_token_id is not None
+    # lang prefix token leads
+    assert ids[0] == tiny_tokenizer.tokenizer.token_to_id("[en]")
+
+
+def test_tokenizer_split_encode(tiny_tokenizer):
+    text = "Hello world. " * 60  # ~780 chars -> several chunks at limit 250
+    encoded = tiny_tokenizer.encode_with_split(text, "en")
+    assert len(encoded) >= 3
+    assert all(isinstance(chunk, list) and chunk for chunk in encoded)
+
+
+def test_tokenizer_save_load(tiny_tokenizer, tmp_path):
+    path = tmp_path / "tokenizer.json"
+    tiny_tokenizer.save(str(path))
+    from auralis_tpu.frontend.tokenizer import TTSTokenizer
+
+    loaded = TTSTokenizer.from_pretrained(str(path))
+    assert loaded.encode("hello world", "en") == tiny_tokenizer.encode("hello world", "en")
