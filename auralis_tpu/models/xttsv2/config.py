@@ -1,0 +1,177 @@
+"""XTTSv2 configuration types.
+
+Field names/defaults track the reference configs
+(models/xttsv2/config/xttsv2_gpt_config.py:133-228 and
+xttsv2_config.py:237-301) so reference `config.json` files load unchanged.
+Plain dataclasses — no transformers dependency in the hot path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+
+@dataclass
+class GPTAudioConfig:
+    mel_channels: int = 80
+    sample_rate: int = 22050
+    output_sample_rate: int = 24000
+
+
+@dataclass
+class XTTSAudioConfig:
+    sample_rate: int = 22050
+    output_sample_rate: int = 24000
+    mel_channels: int = 80
+    hop_length: int = 256
+    win_length: int = 1024
+    n_fft: int = 1024
+    fmin: int = 0
+    fmax: int = 8000
+    power: float = 1.0
+    mel_norms_file: Optional[str] = None
+
+
+def _filter_kwargs(cls, d: dict) -> dict:
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass(eq=False)  # identity hash/eq so the config can be a jit static arg
+class XTTSGPTConfig:
+    """Architecture of the audio-token GPT."""
+
+    hidden_size: int = 1024
+    n_inner: int = 4096
+    num_hidden_layers: int = 30
+    num_attention_heads: int = 16
+
+    vocab_size: int = 6681
+    number_text_tokens: int = 6681
+    start_text_token: Optional[int] = None
+    stop_text_token: Optional[int] = None
+
+    num_audio_tokens: int = 1026
+    start_audio_token: int = 1024
+    stop_audio_token: int = 1025
+
+    max_audio_tokens: int = 605
+    max_text_tokens: int = 402
+    max_prompt_tokens: int = 70
+    gpt_max_audio_tokens: int = 605
+
+    use_masking_gt_prompt_approach: bool = True
+    use_perceiver_resampler: bool = True
+    kv_cache: bool = True
+    enable_redaction: bool = False
+    gpt_batch_size: int = 1
+
+    layer_norm_epsilon: float = 1e-5
+    initializer_range: float = 0.02
+    activation_function: str = "gelu"
+    attn_pdrop: float = 0.1
+    decoder_input_dim: int = 1024
+
+    num_cond_latents: int = 32  # perceiver output length in the sequence
+
+    audio_config: GPTAudioConfig = field(default_factory=GPTAudioConfig)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def max_seq_len(self) -> int:
+        """Decode-sequence ceiling: text + audio + cond latents + sentinels
+        (reference sizing: XTTSv2.py:217-219)."""
+        return self.max_text_tokens + self.max_audio_tokens + self.num_cond_latents + 5 + 3
+
+    @property
+    def audio_position_table(self) -> int:
+        """Audio wpe rows (reference: vllm_mm_gpt.py:753 max_audio_tokens+3)."""
+        return self.max_audio_tokens + 3
+
+    @property
+    def text_position_table(self) -> int:
+        """Text wpe rows (reference: XTTSv2.py:107 max_text_tokens+2)."""
+        return self.max_text_tokens + 2
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "XTTSGPTConfig":
+        d = dict(d)
+        audio = d.pop("audio_config", None)
+        cfg = cls(**_filter_kwargs(cls, d))
+        if audio:
+            cfg.audio_config = GPTAudioConfig(**_filter_kwargs(GPTAudioConfig, audio))
+        return cfg
+
+    def to_dict(self) -> Dict:
+        d = dataclasses.asdict(self)
+        d["model_type"] = "xtts_gpt"
+        return d
+
+
+@dataclass
+class XTTSConfig:
+    """Everything outside the GPT: vocoder, conditioning, languages."""
+
+    input_sample_rate: int = 22050
+    output_sample_rate: int = 24000
+    output_hop_length: int = 256
+    decoder_input_dim: int = 1024
+    d_vector_dim: int = 512
+    cond_d_vector_in_each_upsampling_layer: bool = True
+    gpt_code_stride_len: int = 1024
+    duration_const: int = 102400
+    tokenizer_file: str = ""
+    num_chars: int = 255
+    languages: List[str] = field(
+        default_factory=lambda: [
+            "en", "es", "fr", "de", "it", "pt", "pl", "tr", "ru",
+            "nl", "cs", "ar", "zh-cn", "hu", "ko", "ja", "hi",
+        ]
+    )
+    audio_config: XTTSAudioConfig = field(default_factory=XTTSAudioConfig)
+    gpt: XTTSGPTConfig = field(default_factory=XTTSGPTConfig)
+
+    @classmethod
+    def from_dict(cls, d: Dict) -> "XTTSConfig":
+        d = dict(d)
+        gpt_cfg = d.pop("gpt_config", None) or d.pop("gpt", None)
+        audio = d.pop("audio_config", None)
+        cfg = cls(**_filter_kwargs(cls, d))
+        if audio:
+            cfg.audio_config = XTTSAudioConfig(**_filter_kwargs(XTTSAudioConfig, audio))
+        if gpt_cfg:
+            cfg.gpt = XTTSGPTConfig.from_dict(gpt_cfg)
+        return cfg
+
+    def to_dict(self) -> Dict:
+        d = dataclasses.asdict(self)
+        d["gpt_config"] = d.pop("gpt")
+        d["model_type"] = "xtts"
+        return d
+
+
+def tiny_test_config() -> XTTSConfig:
+    """A miniature architecture for hermetic tests (fast CPU compile)."""
+    cfg = XTTSConfig()
+    cfg.gpt = XTTSGPTConfig(
+        hidden_size=64,
+        n_inner=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        vocab_size=400,
+        number_text_tokens=400,
+        num_audio_tokens=66,
+        start_audio_token=64,
+        stop_audio_token=65,
+        max_audio_tokens=32,
+        max_text_tokens=48,
+        decoder_input_dim=64,
+        num_cond_latents=8,
+    )
+    cfg.decoder_input_dim = 64
+    cfg.d_vector_dim = 32
+    return cfg

@@ -1,0 +1,269 @@
+"""The XTTS audio-token GPT as pure-functional JAX.
+
+Replaces the reference's vLLM-hosted GPT-2 (reference:
+models/xttsv2/components/vllm_mm_gpt.py). Same math, TPU-first execution:
+
+- Params are a flat pytree with per-layer tensors stacked on a leading [L]
+  axis; layers run under `lax.fori_loop` so the program contains ONE block
+  (fast compiles, weight reads stream from HBM per layer — the natural
+  memory-bound decode pattern).
+- Decode is slot-batched over a dense per-slot KV cache
+  `[L, S, T_max, H, Dh]`; the 1047-token sequence ceiling (config.max_seq_len)
+  makes dense-and-masked attention cheaper than paged indirection on TPU.
+- Sequence semantics match the reference exactly (see ARCHITECTURE.md):
+  prompt is precomputed embeddings `[cond ⊕ text] + embed(start_audio)`;
+  generated token i gets `wte[tok] + wpe[i]`; logits =
+  `mel_head(final_norm(ln_f(h)))`; vocoder latent =
+  `final_norm(final_norm(ln_f(h)))` (the reference's double final_norm —
+  compute_logits at vllm_mm_gpt.py:671 plus XTTSv2.py:687).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .config import XTTSGPTConfig
+
+
+class KVCache(NamedTuple):
+    """Dense slot-batched KV cache: k/v are [L, S, T_max, H, Dh]."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[1]
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVCache:
+    shape = (
+        cfg.num_hidden_layers,
+        num_slots,
+        cfg.max_seq_len,
+        cfg.num_attention_heads,
+        cfg.head_dim,
+    )
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+# ------------------------------------------------------------------ params
+
+
+def init_gpt_params(cfg: XTTSGPTConfig, key: jax.Array, dtype=jnp.float32) -> dict:
+    """Random-init parameter pytree (normal(0.02), GPT-2 convention)."""
+    d, i, l = cfg.hidden_size, cfg.n_inner, cfg.num_hidden_layers
+    ks = iter(jax.random.split(key, 16))
+    n = lambda k, shape: (0.02 * jax.random.normal(k, shape)).astype(dtype)
+    return {
+        "wte": n(next(ks), (cfg.num_audio_tokens, d)),
+        "wpe": n(next(ks), (cfg.audio_position_table, d)),
+        "text_wte": n(next(ks), (cfg.number_text_tokens, d)),
+        "text_wpe": n(next(ks), (cfg.text_position_table, d)),
+        "blocks": {
+            "ln1_scale": jnp.ones((l, d), dtype),
+            "ln1_bias": jnp.zeros((l, d), dtype),
+            "attn_w": n(next(ks), (l, d, 3 * d)),
+            "attn_b": jnp.zeros((l, 3 * d), dtype),
+            "attn_proj_w": n(next(ks), (l, d, d)),
+            "attn_proj_b": jnp.zeros((l, d), dtype),
+            "ln2_scale": jnp.ones((l, d), dtype),
+            "ln2_bias": jnp.zeros((l, d), dtype),
+            "fc_w": n(next(ks), (l, d, i)),
+            "fc_b": jnp.zeros((l, i), dtype),
+            "fc_proj_w": n(next(ks), (l, i, d)),
+            "fc_proj_b": jnp.zeros((l, d), dtype),
+        },
+        "ln_f_scale": jnp.ones((d,), dtype),
+        "ln_f_bias": jnp.zeros((d,), dtype),
+        "final_norm_scale": jnp.ones((d,), dtype),
+        "final_norm_bias": jnp.zeros((d,), dtype),
+        "mel_head_w": n(next(ks), (d, cfg.num_audio_tokens)),
+        "mel_head_b": jnp.zeros((cfg.num_audio_tokens,), dtype),
+    }
+
+
+# -------------------------------------------------------------------- math
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm computed in f32 regardless of activation dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _dot(x, w, b=None):
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _block_params(blocks: dict, layer: jax.Array) -> dict:
+    return jax.tree.map(lambda a: a[layer], blocks)
+
+
+def text_embeddings(params: dict, token_ids: jax.Array) -> jax.Array:
+    """[T] -> [T, D]: text wte + learned text positions (reference:
+    XTTSv2.py:524-531)."""
+    t = token_ids.shape[0]
+    return params["text_wte"][token_ids] + params["text_wpe"][jnp.arange(t)]
+
+
+def start_audio_embedding(params: dict, cfg: XTTSGPTConfig) -> jax.Array:
+    """embed(start_audio) = wte[start] + wpe[0] (reference:
+    vllm_mm_gpt.py:806-813)."""
+    return params["wte"][cfg.start_audio_token] + params["wpe"][0]
+
+
+def heads(params: dict, h: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """h (pre-ln_f) -> (mel logits, vocoder latent)."""
+    g = layer_norm(h, params["ln_f_scale"], params["ln_f_bias"])
+    f1 = layer_norm(g, params["final_norm_scale"], params["final_norm_bias"])
+    logits = _dot(f1, params["mel_head_w"], params["mel_head_b"]).astype(jnp.float32)
+    latent = layer_norm(f1, params["final_norm_scale"], params["final_norm_bias"])
+    return logits, latent
+
+
+# ----------------------------------------------------------------- prefill
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def gpt_prefill(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    embeds: jax.Array,  # [T_pad, D] — cond ⊕ text ⊕ start-audio, zero-padded
+    length: jax.Array,  # scalar int32: true prompt length
+    slot: jax.Array,  # scalar int32: cache slot to fill
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Run the prompt through all layers, write K/V into `cache[slot]`,
+    return the last real position's hidden state (pre-ln_f) [D]."""
+    t_pad, d = embeds.shape
+    h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+
+    pos = jnp.arange(t_pad)
+    # causal AND key within the real prompt
+    mask = (pos[None, :] <= pos[:, None]) & (pos[None, :] < length)
+    neg = jnp.finfo(jnp.float32).min
+
+    def body(layer, carry):
+        x, ck, cv = carry
+        bp = _block_params(params["blocks"], layer)
+        xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
+        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])  # [T, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(t_pad, h_heads, head_dim)
+        k = k.reshape(t_pad, h_heads, head_dim)
+        v = v.reshape(t_pad, h_heads, head_dim)
+        scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("hqk,khd->qhd", probs, v, preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(t_pad, d).astype(x.dtype)
+        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+        xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+        y = _dot(xn, bp["fc_w"], bp["fc_b"])
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+
+        ck = lax.dynamic_update_slice(ck, k[None, None].astype(ck.dtype), (layer, slot, 0, 0, 0))
+        cv = lax.dynamic_update_slice(cv, v[None, None].astype(cv.dtype), (layer, slot, 0, 0, 0))
+        return x, ck, cv
+
+    x, ck, cv = lax.fori_loop(
+        0, cfg.num_hidden_layers, body, (embeds, cache.k, cache.v)
+    )
+    h_last = x[length - 1]
+    return h_last, KVCache(ck, cv)
+
+
+# ------------------------------------------------------------- decode step
+
+
+def gpt_decode_step(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    tokens: jax.Array,  # [S] int32 — last sampled token per slot
+    audio_pos: jax.Array,  # [S] int32 — audio position of that token
+    seq_lens: jax.Array,  # [S] int32 — positions already in cache
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """One decode step for every slot. Returns hidden (pre-ln_f) [S, D] and
+    the cache with this step's K/V appended at `seq_lens`."""
+    s = tokens.shape[0]
+    d = cfg.hidden_size
+    h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
+    t_max = cache.max_len
+    scale = 1.0 / math.sqrt(head_dim)
+    slot_idx = jnp.arange(s)
+
+    x = params["wte"][tokens] + params["wpe"][jnp.clip(audio_pos, 0, cfg.audio_position_table - 1)]
+    x = x.astype(cache.k.dtype)
+
+    key_pos = jnp.arange(t_max)
+    att_mask = key_pos[None, :] <= seq_lens[:, None]  # include current position
+    neg = jnp.finfo(jnp.float32).min
+
+    def body(layer, carry):
+        x, ck, cv = carry
+        bp = _block_params(params["blocks"], layer)
+        xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
+        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(s, h_heads, head_dim)
+        k = k.reshape(s, h_heads, head_dim).astype(ck.dtype)
+        v = v.reshape(s, h_heads, head_dim).astype(cv.dtype)
+
+        ck = ck.at[layer, slot_idx, seq_lens].set(k)
+        cv = cv.at[layer, slot_idx, seq_lens].set(v)
+
+        k_all = ck[layer]  # [S, T, H, Dh]
+        v_all = cv[layer]
+        scores = jnp.einsum("shd,sthd->sht", q, k_all, preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(att_mask[:, None, :], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("sht,sthd->shd", probs, v_all, preferred_element_type=jnp.float32)
+        ctx = ctx.reshape(s, d).astype(x.dtype)
+        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+        xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+        y = _dot(xn, bp["fc_w"], bp["fc_b"])
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+        return x, ck, cv
+
+    x, ck, cv = lax.fori_loop(0, cfg.num_hidden_layers, body, (x, cache.k, cache.v))
+    return x, KVCache(ck, cv)
+
+
+# --------------------------------------------------- reference-shape prompt
+
+
+def build_prompt_embeds(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    cond_latents: np.ndarray | jax.Array,  # [C, D] perceiver output
+    text_ids: list[int] | np.ndarray,  # WITHOUT bos/eos
+    bos_id: int,
+    eos_id: int,
+) -> jax.Array:
+    """Assemble the full prompt embedding sequence
+    `[cond ⊕ text(bos..eos) ⊕ start_audio]` -> [C+T+1, D]."""
+    ids = jnp.asarray([bos_id, *list(map(int, text_ids)), eos_id], dtype=jnp.int32)
+    text = text_embeddings(params, ids)
+    start = start_audio_embedding(params, cfg)[None]
+    return jnp.concatenate([jnp.asarray(cond_latents, text.dtype), text, start], axis=0)
