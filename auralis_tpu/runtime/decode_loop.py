@@ -1,0 +1,224 @@
+"""Slot-based continuous-batching decode loop.
+
+This is the TPU-native replacement for the reference's vLLM engine
+(SURVEY.md §2.1): a fixed-shape `[slots, ...]` decode state stepped under
+`jax.jit`, with host-side insertion of prefilled sequences into free slots and
+harvesting of finished ones. Latents for the vocoder are accumulated inline
+during decode — eliminating the reference's second "logits-only" pass
+(XTTSv2.py:617-687) entirely.
+
+Pure functions here; the async host coordinator lives in engine_core.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models.xttsv2.config import XTTSGPTConfig
+from ..models.xttsv2.gpt import KVCache, gpt_decode_step, gpt_prefill, heads, make_kv_cache
+from .sampler import SamplingState, init_sampling_state, sample_tokens
+
+PREFILL_BUCKETS = (64, 128, 256, 512)
+
+
+def prefill_bucket(length: int, max_len: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if length <= b <= max_len:
+            return b
+    return max_len
+
+
+class DecodeState(NamedTuple):
+    """All device-resident decode state (one pytree, donated every step)."""
+
+    cache: KVCache
+    sampling: SamplingState
+    seq_lens: jax.Array  # [S] i32 — cache positions filled (prompt + generated-1)
+    audio_pos: jax.Array  # [S] i32 — audio position of the next input token
+    last_token: jax.Array  # [S] i32 — next input token
+    active: jax.Array  # [S] bool — currently decoding
+    done: jax.Array  # [S] bool — finished, awaiting harvest
+    tokens_buf: jax.Array  # [S, T_audio] i32
+    latents_buf: jax.Array  # [S, T_audio, D]
+    n_generated: jax.Array  # [S] i32
+    rng: jax.Array
+
+
+def init_decode_state(
+    cfg: XTTSGPTConfig, num_slots: int, rng: jax.Array, dtype=jnp.bfloat16
+) -> DecodeState:
+    s, t, d = num_slots, cfg.max_audio_tokens, cfg.hidden_size
+    return DecodeState(
+        cache=make_kv_cache(cfg, s, dtype=dtype),
+        sampling=init_sampling_state(s, cfg.num_audio_tokens),
+        seq_lens=jnp.zeros((s,), jnp.int32),
+        audio_pos=jnp.zeros((s,), jnp.int32),
+        last_token=jnp.zeros((s,), jnp.int32),
+        active=jnp.zeros((s,), bool),
+        done=jnp.zeros((s,), bool),
+        tokens_buf=jnp.zeros((s, t), jnp.int32),
+        latents_buf=jnp.zeros((s, t, d), jnp.float32),
+        n_generated=jnp.zeros((s,), jnp.int32),
+        rng=rng,
+    )
+
+
+def _record_and_advance(
+    cfg: XTTSGPTConfig,
+    state: DecodeState,
+    latent: jax.Array,  # [S, D] — hidden of the current input token
+    new_tokens: jax.Array,  # [S] — just sampled
+    sampling: SamplingState,
+    cache: KVCache,
+    was_active: jax.Array,  # [S] bool
+    rng: jax.Array,
+) -> DecodeState:
+    """Shared bookkeeping for prefill-insert and decode-step: store
+    (latent, token) at index n_generated, advance counters, flag completion."""
+    s = new_tokens.shape[0]
+    slot_idx = jnp.arange(s)
+    idx = jnp.clip(state.n_generated, 0, cfg.max_audio_tokens - 1)
+
+    lat = jnp.where(
+        was_active[:, None], latent.astype(state.latents_buf.dtype),
+        state.latents_buf[slot_idx, idx],
+    )
+    latents_buf = state.latents_buf.at[slot_idx, idx].set(lat)
+    tok = jnp.where(was_active, new_tokens, state.tokens_buf[slot_idx, idx])
+    tokens_buf = state.tokens_buf.at[slot_idx, idx].set(tok)
+
+    n_generated = state.n_generated + was_active.astype(jnp.int32)
+    hit_eos = was_active & (new_tokens == cfg.stop_audio_token)
+    hit_max = was_active & (n_generated >= cfg.max_audio_tokens)
+    newly_done = hit_eos | hit_max
+
+    return DecodeState(
+        cache=cache,
+        sampling=sampling,
+        seq_lens=state.seq_lens + was_active.astype(jnp.int32),
+        audio_pos=state.audio_pos + was_active.astype(jnp.int32),
+        last_token=jnp.where(was_active, new_tokens, state.last_token),
+        active=state.active & ~newly_done,
+        done=state.done | newly_done,
+        tokens_buf=tokens_buf,
+        latents_buf=latents_buf,
+        n_generated=n_generated,
+        rng=rng,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_sequence(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    state: DecodeState,
+    embeds: jax.Array,  # [T_pad, D] prompt embeddings (cond ⊕ text ⊕ start)
+    length: jax.Array,  # scalar i32
+    slot: jax.Array,  # scalar i32
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    repetition_penalty: jax.Array,
+    do_sample: jax.Array,
+) -> DecodeState:
+    """Prefill a prompt into `slot`, sample its first token, mark it active."""
+    s = state.seq_lens.shape[0]
+    onehot = jnp.arange(s) == slot
+
+    h_last, cache = gpt_prefill(params, cfg, embeds, length, slot, state.cache)
+    logits, latent = heads(params, h_last[None])  # [1, V], [1, D]
+
+    sampling = SamplingState(
+        temperature=jnp.where(onehot, temperature, state.sampling.temperature),
+        top_p=jnp.where(onehot, top_p, state.sampling.top_p),
+        top_k=jnp.where(onehot, top_k, state.sampling.top_k),
+        repetition_penalty=jnp.where(
+            onehot, repetition_penalty, state.sampling.repetition_penalty
+        ),
+        do_sample=jnp.where(onehot, do_sample, state.sampling.do_sample),
+        seen=jnp.where(onehot[:, None], False, state.sampling.seen),
+    )
+
+    rng, sub = jax.random.split(state.rng)
+    logits_s = jnp.where(onehot[:, None], logits, 0.0)
+    tokens, sampling = sample_tokens(logits_s, sampling, sub)
+    # only `slot`'s sample matters; protect other slots' seen-masks
+    sampling = sampling._replace(
+        seen=jnp.where(onehot[:, None], sampling.seen, state.sampling.seen)
+    )
+
+    # reset the slot's counters, then record its first (latent, token)
+    state = DecodeState(
+        cache=cache,
+        sampling=sampling,
+        seq_lens=jnp.where(onehot, length - 1, state.seq_lens),
+        audio_pos=jnp.where(onehot, 0, state.audio_pos),
+        last_token=state.last_token,
+        active=state.active | onehot,
+        done=state.done & ~onehot,
+        tokens_buf=state.tokens_buf,
+        latents_buf=state.latents_buf,
+        n_generated=jnp.where(onehot, 0, state.n_generated),
+        rng=rng,
+    )
+    latent_full = jnp.where(onehot[:, None], latent, 0.0)
+    return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, onehot, rng)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("state",))
+def decode_steps(
+    params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1
+) -> DecodeState:
+    """Run `n_steps` decode iterations over all slots (inactive slots are
+    masked out of the bookkeeping; their compute is fixed-shape overhead)."""
+
+    def one_step(state: DecodeState) -> DecodeState:
+        was_active = state.active
+        h, cache = gpt_decode_step(
+            params, cfg, state.last_token, state.audio_pos, state.seq_lens, state.cache
+        )
+        logits, latent = heads(params, h)
+        rng, sub = jax.random.split(state.rng)
+        tokens, sampling = sample_tokens(logits, state.sampling, sub)
+        sampling = sampling._replace(
+            seen=jnp.where(was_active[:, None], sampling.seen, state.sampling.seen)
+        )
+        return _record_and_advance(cfg, state, latent, tokens, sampling, cache, was_active, rng)
+
+    if n_steps == 1:
+        return one_step(state)
+    return lax.fori_loop(0, n_steps, lambda _, st: one_step(st), state)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def release_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
+    onehot = jnp.arange(state.seq_lens.shape[0]) == slot
+    return state._replace(
+        active=state.active & ~onehot,
+        done=state.done & ~onehot,
+        n_generated=jnp.where(onehot, 0, state.n_generated),
+    )
+
+
+def status(state: DecodeState) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Small host transfer: (active, done, n_generated)."""
+    active, done, n_gen = jax.device_get((state.active, state.done, state.n_generated))
+    return np.asarray(active), np.asarray(done), np.asarray(n_gen)
+
+
+def harvest(state: DecodeState, slot: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch a finished slot's (tokens, latents), trimmed to its length.
+    The trailing stop token (if any) is dropped from tokens; latents keep the
+    step that predicted it (reference slice semantics, XTTSv2.py:685-687)."""
+    # fetch full fixed-shape rows (keeps every transfer the same compiled
+    # shape) and trim host-side
+    n, tokens, latents = jax.device_get(
+        (state.n_generated[slot], state.tokens_buf[slot], state.latents_buf[slot])
+    )
+    n = int(n)
+    return np.asarray(tokens)[:n], np.asarray(latents)[:n]

@@ -1,0 +1,190 @@
+"""Async host coordinator for the decode loop.
+
+The TPU-native analogue of vLLM's AsyncLLMEngine (reference boundary:
+XTTSv2.py:198-232, 752): callers submit prompt embeddings, the coordinator
+packs them into free decode slots (continuous batching), steps the jitted
+decode program, and resolves per-sequence futures with (tokens, latents).
+
+One device program in flight at a time (single-chip serving); prefills are
+interleaved with decode steps so a new request starts without draining the
+batch. Multi-chip scale-out replicates this engine across mesh data shards
+(see auralis_tpu.parallel).
+"""
+from __future__ import annotations
+
+import asyncio
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common.logger import setup_logger
+from ..models.xttsv2.config import XTTSGPTConfig
+from .decode_loop import (
+    DecodeState,
+    decode_steps,
+    harvest,
+    init_decode_state,
+    insert_sequence,
+    prefill_bucket,
+    release_slot,
+    status,
+)
+
+logger = setup_logger("engine")
+
+
+@dataclass
+class SamplingOptions:
+    temperature: float = 0.75
+    top_p: float = 0.85
+    top_k: int = 50
+    repetition_penalty: float = 5.0
+    do_sample: bool = True
+
+
+@dataclass
+class _Pending:
+    embeds: np.ndarray
+    length: int
+    options: SamplingOptions
+    future: asyncio.Future
+    enqueue_time: float = field(default_factory=time.time)
+
+
+class DecodeEngine:
+    """Continuous-batching decode coordinator over one device (or one data
+    shard). Thread-unsafe by design: drive it from a single asyncio loop."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: XTTSGPTConfig,
+        num_slots: int = 16,
+        cache_dtype=jnp.bfloat16,
+        steps_per_sync: int = 8,
+        seed: int = 0,
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.num_slots = num_slots
+        self.steps_per_sync = steps_per_sync
+        self.state: DecodeState = init_decode_state(
+            cfg, num_slots, jax.random.PRNGKey(seed), dtype=cache_dtype
+        )
+        self._queue: deque[_Pending] = deque()
+        self._slot_owner: dict[int, _Pending] = {}
+        self._runner: Optional[asyncio.Task] = None
+        self._wake = asyncio.Event()
+        self._closed = False
+
+    # ------------------------------------------------------------- public
+    async def generate(
+        self, embeds: np.ndarray, options: SamplingOptions | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Submit prompt embeddings [T, D]; resolves to (tokens, latents)."""
+        if self._closed:
+            raise RuntimeError("DecodeEngine is shut down")
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._queue.append(
+            _Pending(np.asarray(embeds), int(embeds.shape[0]), options or SamplingOptions(), fut)
+        )
+        self._ensure_runner()
+        self._wake.set()
+        return await fut
+
+    async def shutdown(self) -> None:
+        self._closed = True
+        self._wake.set()
+        if self._runner is not None:
+            self._runner.cancel()
+            try:
+                await self._runner
+            except (asyncio.CancelledError, Exception):
+                pass
+            self._runner = None
+        for pending in self._queue:
+            if not pending.future.done():
+                pending.future.cancel()
+        self._queue.clear()
+
+    @property
+    def num_active(self) -> int:
+        return len(self._slot_owner)
+
+    # ------------------------------------------------------------ internals
+    def _ensure_runner(self) -> None:
+        if self._runner is None or self._runner.done():
+            self._runner = asyncio.get_running_loop().create_task(self._run())
+
+    def _free_slots(self, active: np.ndarray, done: np.ndarray) -> list[int]:
+        return [
+            i
+            for i in range(self.num_slots)
+            if not active[i] and not done[i] and i not in self._slot_owner
+        ]
+
+    def _insert(self, pending: _Pending, slot: int) -> None:
+        cfg, opts = self.cfg, pending.options
+        bucket = prefill_bucket(pending.length, cfg.max_seq_len)
+        dtype = self.state.cache.k.dtype
+        padded = np.zeros((bucket, cfg.hidden_size), np.float32)
+        padded[: pending.length] = pending.embeds
+        self.state = insert_sequence(
+            self.params,
+            cfg,
+            self.state,
+            jnp.asarray(padded, dtype),
+            jnp.int32(pending.length),
+            jnp.int32(slot),
+            jnp.float32(opts.temperature),
+            jnp.float32(opts.top_p),
+            jnp.int32(opts.top_k),
+            jnp.float32(opts.repetition_penalty),
+            jnp.bool_(opts.do_sample),
+        )
+        self._slot_owner[slot] = pending
+
+    def _harvest_done(self, done: np.ndarray) -> None:
+        for slot in np.nonzero(done)[0].tolist():
+            pending = self._slot_owner.pop(slot, None)
+            tokens, latents = harvest(self.state, slot)
+            self.state = release_slot(self.state, jnp.int32(slot))
+            if pending is not None and not pending.future.done():
+                # drop a trailing stop token from the token list; latents keep
+                # the step that predicted it (reference: XTTSv2.py:645,685-687)
+                if len(tokens) and tokens[-1] == self.cfg.stop_audio_token:
+                    tokens = tokens[:-1]
+                pending.future.set_result((tokens, latents))
+
+    async def _run(self) -> None:
+        while not self._closed:
+            active, done, _ = status(self.state)
+            if done.any():
+                self._harvest_done(done)
+                active, done, _ = status(self.state)
+
+            # fill free slots from the queue (prefill interleaves with decode)
+            free = self._free_slots(active, done)
+            while free and self._queue:
+                self._insert(self._queue.popleft(), free.pop(0))
+
+            if not self._slot_owner and not self._queue:
+                self._wake.clear()
+                try:
+                    await asyncio.wait_for(self._wake.wait(), timeout=5.0)
+                except asyncio.TimeoutError:
+                    pass
+                continue
+
+            if self._slot_owner:
+                self.state = decode_steps(
+                    self.params, self.cfg, self.state, n_steps=self.steps_per_sync
+                )
+            # cede the loop so producers/consumers run between syncs
+            await asyncio.sleep(0)
