@@ -1,0 +1,172 @@
+"""Two-phase asynchronous scheduler (capability parity with the reference
+common/scheduling/two_phase_scheduler.py, redesigned event-driven).
+
+Phase 1 prepares a request's generation context; phase 2 runs one async
+generator per text chunk in parallel under a concurrency semaphore. Outputs
+are yielded strictly in chunk order. Unlike the reference (which polls
+sequence buffers every 10 ms, two_phase_scheduler.py:350), ordering here is
+fully event-driven: each chunk writes into its own asyncio.Queue and the
+consumer awaits them in order — zero idle polling.
+"""
+from __future__ import annotations
+
+import asyncio
+import enum
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, AsyncGenerator, Awaitable, Callable, Dict, Optional
+
+from .logger import setup_logger
+
+logger = setup_logger("scheduler")
+
+
+class TaskState(enum.Enum):
+    QUEUED = "queued"
+    PROCESSING_FIRST = "processing_first_phase"
+    PROCESSING_SECOND = "processing_second_phase"
+    COMPLETED = "completed"
+    FAILED = "failed"
+
+
+@dataclass
+class QueuedRequest:
+    id: str
+    input: Any
+    state: TaskState = TaskState.QUEUED
+    error: Optional[Exception] = None
+    generators_count: int = 0
+    completed_generators: int = 0
+    completion_event: asyncio.Event = field(default_factory=asyncio.Event)
+
+
+class TwoPhaseScheduler:
+    """Bounded-concurrency two-phase pipeline with ordered streaming output."""
+
+    def __init__(
+        self,
+        second_phase_concurrency: int = 10,
+        request_timeout: Optional[float] = None,
+        generator_timeout: Optional[float] = None,
+    ):
+        self.second_phase_concurrency = second_phase_concurrency
+        self.request_timeout = request_timeout
+        self.generator_timeout = generator_timeout
+        self.is_running = False
+        self.active_requests: Dict[str, QueuedRequest] = {}
+        self._request_sem: Optional[asyncio.Semaphore] = None
+        self._phase2_sem: Optional[asyncio.Semaphore] = None
+
+    async def start(self) -> None:
+        if self.is_running:
+            return
+        self._request_sem = asyncio.Semaphore(self.second_phase_concurrency)
+        self._phase2_sem = asyncio.Semaphore(self.second_phase_concurrency)
+        self.is_running = True
+
+    async def run(
+        self,
+        inputs: Any,
+        first_phase_fn: Callable[[Any], Awaitable[Dict]],
+        second_phase_fn: Callable[[Any], AsyncGenerator],
+        request_id: Optional[str] = None,
+    ) -> AsyncGenerator[Any, None]:
+        """Process one request; yields phase-2 outputs in chunk order."""
+        if not self.is_running:
+            await self.start()
+
+        request = QueuedRequest(id=request_id or uuid.uuid4().hex, input=inputs)
+        self.active_requests[request.id] = request
+        gen_tasks: list[asyncio.Task] = []
+        try:
+            async with self._request_sem:
+                request.state = TaskState.PROCESSING_FIRST
+                try:
+                    first = await asyncio.wait_for(
+                        first_phase_fn(inputs), timeout=self.request_timeout
+                    )
+                except asyncio.TimeoutError:
+                    raise TimeoutError(
+                        f"First phase timeout after {self.request_timeout}s"
+                    ) from None
+
+                parallel_inputs = first.get("parallel_inputs", [])
+                request.generators_count = len(parallel_inputs)
+                request.state = TaskState.PROCESSING_SECOND
+
+                queues: list[asyncio.Queue] = [asyncio.Queue() for _ in parallel_inputs]
+
+                async def run_generator(idx: int, gen_input: Any) -> None:
+                    q = queues[idx]
+                    try:
+                        async with self._phase2_sem:
+                            agen = second_phase_fn(gen_input)
+                            while True:
+                                try:
+                                    item = await asyncio.wait_for(
+                                        agen.__anext__(), timeout=self.generator_timeout
+                                    )
+                                except StopAsyncIteration:
+                                    break
+                                except asyncio.TimeoutError:
+                                    raise TimeoutError(
+                                        f"Generator {idx} timed out"
+                                    ) from None
+                                q.put_nowait(("item", item))
+                    except asyncio.CancelledError:
+                        q.put_nowait(("done", None))
+                        raise
+                    except Exception as e:  # propagate to the consumer
+                        logger.error("Generator %d failed for %s: %s", idx, request.id, e)
+                        q.put_nowait(("error", e))
+                        return
+                    finally:
+                        request.completed_generators += 1
+                    q.put_nowait(("done", None))
+
+                gen_tasks = [
+                    asyncio.create_task(run_generator(i, gi))
+                    for i, gi in enumerate(parallel_inputs)
+                ]
+
+                deadline = (
+                    time.monotonic() + self.request_timeout if self.request_timeout else None
+                )
+                for q in queues:
+                    while True:
+                        timeout = None
+                        if deadline is not None:
+                            timeout = max(0.0, deadline - time.monotonic())
+                        try:
+                            kind, payload = await asyncio.wait_for(q.get(), timeout)
+                        except asyncio.TimeoutError:
+                            raise TimeoutError("No progress in output generation") from None
+                        if kind == "item":
+                            yield payload
+                        elif kind == "error":
+                            request.error = payload
+                            raise payload
+                        else:
+                            break
+                request.state = TaskState.COMPLETED
+        except BaseException as e:
+            request.error = request.error or (e if isinstance(e, Exception) else None)
+            request.state = TaskState.FAILED
+            raise
+        finally:
+            for t in gen_tasks:
+                if not t.done():
+                    t.cancel()
+            if gen_tasks:
+                await asyncio.gather(*gen_tasks, return_exceptions=True)
+            request.completion_event.set()
+            self.active_requests.pop(request.id, None)
+
+    async def shutdown(self) -> None:
+        self.is_running = False
+        if self.active_requests:
+            await asyncio.gather(
+                *(r.completion_event.wait() for r in self.active_requests.values()),
+                return_exceptions=True,
+            )

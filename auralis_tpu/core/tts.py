@@ -1,0 +1,209 @@
+"""The TTS facade — the main public entry point.
+
+API parity with the reference core/tts.py: `from_pretrained`,
+`generate_speech` (sync), `generate_speech_async`, streaming,
+`prepare_for_streaming_generation`, 100k-char request splitting, shutdown.
+Orchestrates the two-phase scheduler over the engine registry.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+import time
+import uuid
+from functools import partial
+from typing import AsyncGenerator, Dict, Generator, List, Optional, Union
+
+from ..common.logger import set_backend_logging_level, setup_logger
+from ..common.metrics import track_generation
+from ..common.output import TTSOutput
+from ..common.requests import TTSRequest
+from ..common.scheduler import TwoPhaseScheduler
+from ..models.base import BaseAsyncTTSEngine
+from ..models.registry import get_model_factory
+
+logger = setup_logger("tts")
+
+
+class TTS:
+    """High-performance TTS engine facade (sync + async + streaming)."""
+
+    def __init__(self, scheduler_max_concurrency: int = 10, vllm_logging_level=logging.WARNING):
+        # `vllm_logging_level` kept for API compatibility; maps to backend logs
+        set_backend_logging_level(vllm_logging_level)
+        self.concurrency = scheduler_max_concurrency
+        self.scheduler: Optional[TwoPhaseScheduler] = TwoPhaseScheduler(
+            second_phase_concurrency=scheduler_max_concurrency
+        )
+        self.tts_engine: Optional[BaseAsyncTTSEngine] = None
+        self.loop: Optional[asyncio.AbstractEventLoop] = None
+
+    # ------------------------------------------------------------- loading
+    def _ensure_event_loop(self) -> None:
+        if self.loop is None or self.loop.is_closed():
+            try:
+                self.loop = asyncio.get_running_loop()
+            except RuntimeError:
+                self.loop = asyncio.new_event_loop()
+                asyncio.set_event_loop(self.loop)
+
+    def from_pretrained(self, model_name_or_path: str, **kwargs) -> "TTS":
+        """Load a model directory (synchronous)."""
+        self._ensure_event_loop()
+        config_path = os.path.join(model_name_or_path, "config.json")
+        try:
+            with open(config_path) as f:
+                config = json.load(f)
+        except FileNotFoundError as e:
+            raise ValueError(
+                f"Could not load model from {model_name_or_path}: no config.json "
+                "(hub download is unavailable in this offline build — pass a local dir)"
+            ) from e
+        factory = get_model_factory(config.get("model_type", "xtts"))
+
+        async def _load():
+            return factory(model_name_or_path, max_concurrency=self.concurrency, **kwargs)
+
+        self.tts_engine = self.loop.run_until_complete(_load())
+        return self
+
+    def with_engine(self, engine: BaseAsyncTTSEngine) -> "TTS":
+        """Attach an already-constructed engine (tests, custom builds)."""
+        self._ensure_event_loop()
+        self.tts_engine = engine
+        return self
+
+    # -------------------------------------------------------------- phases
+    async def prepare_for_streaming_generation(self, request: TTSRequest):
+        """Precompute voice conditioning; returns a partial usable as the
+        request's `context_partial_function` (voice caching)."""
+        conditioning = self.tts_engine.conditioning_config
+        if conditioning.speaker_embeddings or conditioning.gpt_like_decoder_conditioning:
+            gpt_cond_latent, speaker_embeddings = await self.tts_engine.get_audio_conditioning(
+                request.speaker_files
+            )
+            return partial(
+                self.tts_engine.get_generation_context,
+                gpt_cond_latent=gpt_cond_latent,
+                speaker_embeddings=speaker_embeddings,
+            )
+        return None
+
+    async def _prepare_generation_context(self, input_request: TTSRequest) -> Dict:
+        """Phase 1: build conditioning + one generation handle per chunk."""
+        input_request.start_time = time.time()
+        context_fn = input_request.context_partial_function or partial(
+            self.tts_engine.get_generation_context
+        )
+        handles, request_ids, speaker_embeddings, conditioning = await context_fn(
+            input_request
+        )
+        parallel_inputs = [
+            {
+                "generator": handle,
+                "speaker_embedding": speaker_embeddings,
+                "multimodal_data": conditioning,
+                "request": input_request,
+            }
+            for handle in handles
+        ]
+        return {"parallel_inputs": parallel_inputs, "request": input_request}
+
+    @track_generation
+    async def _second_phase_fn(self, gen_input: Dict) -> AsyncGenerator[TTSOutput, None]:
+        """Phase 2: decode handle -> audio chunks."""
+        async for chunk in self.tts_engine.process_tokens_to_speech(
+            generator=gen_input["generator"],
+            speaker_embeddings=gen_input["speaker_embedding"],
+            multimodal_data=gen_input["multimodal_data"],
+            request=gen_input["request"],
+        ):
+            yield chunk
+
+    # --------------------------------------------------------------- public
+    async def generate_speech_async(
+        self, request: TTSRequest
+    ) -> Union[AsyncGenerator[TTSOutput, None], TTSOutput]:
+        self._ensure_event_loop()
+
+        async def process_chunks():
+            chunks = []
+            async for chunk in self.scheduler.run(
+                inputs=request,
+                request_id=request.request_id,
+                first_phase_fn=self._prepare_generation_context,
+                second_phase_fn=self._second_phase_fn,
+            ):
+                if request.stream:
+                    yield chunk
+                chunks.append(chunk)
+            if not request.stream:
+                yield TTSOutput.combine_outputs(chunks)
+
+        if request.stream:
+            return process_chunks()
+        async for result in process_chunks():
+            return result
+
+    @staticmethod
+    def split_requests(request: TTSRequest, max_length: int = 100_000) -> List[TTSRequest]:
+        """Split >100k-char requests into independent sub-requests."""
+        if len(request.text) <= max_length:
+            return [request]
+        out = []
+        for i in range(0, len(request.text), max_length):
+            sub = request.copy()
+            sub.text = request.text[i : i + max_length]
+            sub.request_id = uuid.uuid4().hex
+            out.append(sub)
+        return out
+
+    async def _process_multiple_requests(self, requests: List[TTSRequest]) -> TTSOutput:
+        async def one(sub: TTSRequest) -> List[TTSOutput]:
+            chunks = []
+            async for chunk in self.scheduler.run(
+                inputs=sub,
+                request_id=sub.request_id,
+                first_phase_fn=self._prepare_generation_context,
+                second_phase_fn=self._second_phase_fn,
+            ):
+                chunks.append(chunk)
+            return chunks
+
+        all_chunks = await asyncio.gather(*(one(r) for r in requests))
+        flat = [c for chunks in all_chunks for c in chunks]
+        return TTSOutput.combine_outputs(flat)
+
+    def generate_speech(
+        self, request: TTSRequest
+    ) -> Union[Generator[TTSOutput, None, None], TTSOutput]:
+        """Synchronous entry point; returns a generator when streaming."""
+        self._ensure_event_loop()
+        requests = self.split_requests(request)
+
+        if request.stream:
+
+            def streaming_wrapper():
+                for sub in requests:
+                    agen = self.scheduler.run(
+                        inputs=sub,
+                        request_id=sub.request_id,
+                        first_phase_fn=self._prepare_generation_context,
+                        second_phase_fn=self._second_phase_fn,
+                    )
+                    while True:
+                        try:
+                            yield self.loop.run_until_complete(anext(agen))
+                        except StopAsyncIteration:
+                            break
+
+            return streaming_wrapper()
+        return self.loop.run_until_complete(self._process_multiple_requests(requests))
+
+    async def shutdown(self) -> None:
+        if self.scheduler:
+            await self.scheduler.shutdown()
+        if self.tts_engine is not None:
+            await self.tts_engine.shutdown()

@@ -1,10 +1,10 @@
 from ..registry import register_model
 
 
-def _build(*args, **kwargs):
+def _load_xtts(path: str, **kwargs):
     from .engine import XTTSv2Engine
 
-    return XTTSv2Engine(*args, **kwargs)
+    return XTTSv2Engine.from_pretrained(path, **kwargs)
 
 
-register_model("xtts", _build)
+register_model("xtts", _load_xtts)

@@ -173,5 +173,6 @@ def tiny_test_config() -> XTTSConfig:
         num_cond_latents=8,
     )
     cfg.decoder_input_dim = 64
-    cfg.d_vector_dim = 32
+    # the speaker encoder always projects to 512 (reference proj_dim)
+    cfg.d_vector_dim = 512
     return cfg

@@ -119,7 +119,7 @@ def init_hifigan_params(
 ) -> dict:
     """Random init (for tests / random engines); real weights come from the
     checkpoint loader with weight-norm folded."""
-    ks = iter(jax.random.split(key, 64))
+    ks = iter(jax.random.split(key, 256))
     n = lambda shape, scale=0.02: (scale * jax.random.normal(next(ks), shape)).astype(dtype)
 
     params = {
