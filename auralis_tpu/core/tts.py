@@ -21,6 +21,7 @@ from ..common.metrics import track_generation
 from ..common.output import TTSOutput
 from ..common.requests import TTSRequest
 from ..common.scheduler import TwoPhaseScheduler
+from ..common.tracing import span
 from ..models.base import BaseAsyncTTSEngine
 from ..models.registry import get_model_factory
 
@@ -97,9 +98,10 @@ class TTS:
         context_fn = input_request.context_partial_function or partial(
             self.tts_engine.get_generation_context
         )
-        handles, request_ids, speaker_embeddings, conditioning = await context_fn(
-            input_request
-        )
+        with span("phase1.context"):
+            handles, request_ids, speaker_embeddings, conditioning = await context_fn(
+                input_request
+            )
         parallel_inputs = [
             {
                 "generator": handle,

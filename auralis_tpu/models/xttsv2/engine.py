@@ -28,6 +28,7 @@ import numpy as np
 
 from ...common import audio_io
 from ...common.logger import setup_logger
+from ...common.tracing import span
 from ...common.output import TTSOutput
 from ...common.requests import TTSRequest
 from ...frontend.tokenizer import TTSTokenizer
@@ -67,6 +68,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         core: dict,
         tokenizer: Optional[TTSTokenizer] = None,
         max_concurrency: int = 10,
+        decode_slots: Optional[int] = None,
+        steps_per_sync: int = 16,
         tensor_parallel_size: int = 1,
         pipeline_parallel_size: int = 1,
         cache_dtype=jnp.bfloat16,
@@ -92,11 +95,15 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._np_wte = np.asarray(params["wte"], np.float32)
         self._np_wpe0 = np.asarray(params["wpe"][0], np.float32)
 
+        # chunk-level parallelism exceeds request concurrency (one request
+        # fans out into many text chunks) — default to 2x slots
+        self.decode_slots = decode_slots or max(2, 2 * max_concurrency)
         self.decode_engine = DecodeEngine(
             params,
             gpt_config,
-            num_slots=max(2, max_concurrency),
+            num_slots=self.decode_slots,
             cache_dtype=cache_dtype,
+            steps_per_sync=steps_per_sync,
             seed=seed,
         )
 
@@ -123,13 +130,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             np.prod(x.shape) * x.dtype.itemsize for x in jax.tree.leaves(self.params)
         )
         slot_bytes = cfg.num_hidden_layers * cfg.max_seq_len * 2 * cfg.hidden_size * 2
-        total = weight_bytes + slot_bytes * self.max_concurrency
+        total = weight_bytes + slot_bytes * self.decode_slots
         self.max_gb_for_model = total / 1024**3
         logger.info(
             "HBM plan: %.2f GiB (weights %.2f GiB + %d slots x %.1f MiB KV)",
             self.max_gb_for_model,
             weight_bytes / 1024**3,
-            self.max_concurrency,
+            self.decode_slots,
             slot_bytes / 1024**2,
         )
         return self.max_gb_for_model
@@ -270,8 +277,30 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         sound_norm_refs: bool = False,
         load_sr: int = 22050,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """(gpt conditioning latents [1, C, D], speaker d-vector [1, 512])."""
+        """(gpt conditioning latents [1, C, D], speaker d-vector [1, 512]).
+
+        Results are LRU-cached per (reference content, conditioning params):
+        repeated-voice workloads skip the whole conditioning pass (the
+        reference only offers this via prepare_for_streaming_generation)."""
         refs = audio_reference if isinstance(audio_reference, list) else [audio_reference]
+        import hashlib
+
+        hasher = hashlib.md5()
+        for ref in refs:
+            if isinstance(ref, (bytes, bytearray)):
+                hasher.update(ref)
+            else:
+                hasher.update(str(ref).encode())
+                try:
+                    hasher.update(str(os.path.getmtime(ref)).encode())
+                except OSError:
+                    pass
+        hasher.update(f"{max_ref_length}|{gpt_cond_len}|{gpt_cond_chunk_len}|"
+                      f"{sound_norm_refs}|{load_sr}".encode())
+        cache_key = hasher.hexdigest()
+        if cache_key in self._cond_cache:
+            return self._cond_cache[cache_key]
+
         speaker_embs, audios = [], []
         for ref in refs:
             audio = audio_io.load_audio(ref, load_sr)[:, : load_sr * max_ref_length]
@@ -294,6 +323,9 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self.get_gpt_cond_latents, full_audio, gpt_cond_len, gpt_cond_chunk_len
         )
         speaker = np.mean(np.stack(speaker_embs), axis=0)  # [1, 512]
+        if len(self._cond_cache) >= 32:
+            self._cond_cache.pop(next(iter(self._cond_cache)))
+        self._cond_cache[cache_key] = (gpt_cond, speaker)
         return gpt_cond, speaker
 
     # ------------------------------------------------------ prompt assembly
@@ -376,14 +408,16 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
     def vocode(self, latents: np.ndarray, speaker_embedding: np.ndarray) -> np.ndarray:
         """latents [T, D] + d-vector [1, 512] -> waveform [N] at 24 kHz.
-        Latent length is padded to a bucket; output trimmed to the true
-        length (bounds XLA compile count to ~10 programs)."""
+        Latents are padded to ONE fixed bucket (max_audio_tokens rounded up)
+        and the output trimmed to the true length: a single XLA program for
+        every chunk length — compile latency through the remote-compile
+        tunnel dwarfs the padded-conv overhead (~165 ms per call either way)."""
         n = latents.shape[0]
-        bucket = min(
-            max(LATENT_BUCKETS_STEP, math.ceil(n / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP),
-            max(self.gpt_config.max_audio_tokens, LATENT_BUCKETS_STEP),
+        bucket = max(
+            math.ceil(self.gpt_config.max_audio_tokens / LATENT_BUCKETS_STEP)
+            * LATENT_BUCKETS_STEP,
+            n,
         )
-        bucket = max(bucket, n)
         padded = np.zeros((1, bucket, latents.shape[1]), np.float32)
         padded[0, :n] = latents
         wav = self._vocoder_fn(bucket)(
@@ -403,7 +437,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         tokens, latents = await generator
         if latents.shape[0] == 0:
             return
-        wav = await asyncio.to_thread(self.vocode, latents, speaker_embeddings)
+        with span("phase2.vocode"):
+            wav = await asyncio.to_thread(self.vocode, latents, speaker_embeddings)
         yield TTSOutput(
             array=wav,
             sample_rate=self.hifi_config.output_sample_rate,

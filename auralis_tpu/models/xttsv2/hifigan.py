@@ -69,6 +69,9 @@ def _resblock1(p: dict, x: jax.Array, kernel: int) -> jax.Array:
 
 def hifigan_generator(params: dict, x: jax.Array, g: jax.Array) -> jax.Array:
     """x [B, T, C_in], g [B, d_vector] -> waveform [B, T * prod(rates)]."""
+    dtype = params["conv_pre_w"].dtype
+    x = x.astype(dtype)
+    g = g.astype(dtype)
     h = _conv1d(x, params["conv_pre_w"], params["conv_pre_b"], padding=3)
     h = h + jnp.einsum("bd,do->bo", g, params["cond_w"])[:, None, :] + params["cond_b"]
     for i, (rate, kernel) in enumerate(zip(UPSAMPLE_RATES, UPSAMPLE_KERNELS)):

@@ -287,7 +287,7 @@ def speaker_encoder_from_features(
     var = jnp.var(feats, axis=-1, keepdims=True)
     x = (feats - mu) * lax.rsqrt(var + 1e-5)
     # torch layout is [B, 1, n_mels, frames] -> NHWC [B, H=n_mels, W=frames, C=1]
-    x = x[..., None]
+    x = x[..., None].astype(params["conv1_w"].dtype)
 
     h = _conv2d(x, params["conv1_w"], params["conv1_b"])
     h = jax.nn.relu(h)

@@ -1,0 +1,188 @@
+"""OpenAI-compatible HTTP server (capability parity with reference
+entrypoints/oai_server.py, built on aiohttp — FastAPI isn't in this image).
+
+Endpoints:
+- POST /v1/audio/speech      — text -> audio bytes (wav/pcm; compressed
+  formats require an external encoder and return 400)
+- POST /v1/chat/completions  — proxies a streaming chat completion to an
+  upstream LLM and interleaves base64 `audio.chunk` SSE events, vocalizing
+  every N accumulated words
+- GET  /health               — liveness probe
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import logging
+import time
+import uuid
+from typing import Optional
+
+from aiohttp import ClientSession, web
+
+from ..common.logger import setup_logger
+from ..core.tts import TTS
+from .openai_schemas import AudioSpeechGenerationRequest, VoiceChatCompletionRequest
+
+logger = setup_logger("oai_server")
+
+TTS_ENGINE_KEY = web.AppKey("tts_engine", TTS)
+
+
+def _error(status: int, message: str) -> web.Response:
+    return web.json_response({"error": {"message": message}}, status=status)
+
+
+async def handle_audio_speech(request: web.Request) -> web.Response:
+    """OpenAI `audio.speech`-compatible synthesis."""
+    tts: TTS = request.app[TTS_ENGINE_KEY]
+    try:
+        body = AudioSpeechGenerationRequest.model_validate(await request.json())
+    except Exception as e:
+        return _error(400, str(e))
+    try:
+        tts_request = body.to_tts_request()
+        output = await tts.generate_speech_async(tts_request)
+        if body.speed != 1.0:
+            output = output.change_speed(body.speed)
+        payload = output.to_bytes(format=body.response_format)
+    except ValueError as e:
+        return _error(400, str(e))
+    except Exception as e:
+        logger.error("Speech generation failed: %s", e)
+        return _error(500, str(e))
+    content_type = {
+        "wav": "audio/wav",
+        "pcm": "audio/pcm",
+    }.get(body.response_format, "application/octet-stream")
+    return web.Response(body=payload, content_type=content_type)
+
+
+async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
+    """Streaming chat proxy with interleaved vocalization."""
+    tts: TTS = request.app[TTS_ENGINE_KEY]
+    try:
+        body = VoiceChatCompletionRequest.model_validate(await request.json())
+    except Exception as e:
+        return _error(400, str(e))
+
+    resp = web.StreamResponse(
+        status=200,
+        headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"},
+    )
+    await resp.prepare(request)
+
+    async def send_event(payload: dict) -> None:
+        await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+    async def vocalize(text: str) -> None:
+        if not text.strip():
+            return
+        tts_request = body.to_tts_request(text)
+        tts_request.infer_language()
+        output = await tts.generate_speech_async(tts_request)
+        await send_event(
+            {
+                "object": "audio.chunk",
+                "id": f"audio-{uuid.uuid4().hex}",
+                "data": base64.b64encode(output.to_bytes("wav")).decode(),
+                "created": int(time.time()),
+            }
+        )
+
+    try:
+        accumulated: list[str] = []
+        headers = {}
+        if body.openai_api_key:
+            headers["Authorization"] = f"Bearer {body.openai_api_key}"
+        async with ClientSession() as session:
+            async with session.post(
+                f"{body.openai_api_url.rstrip('/')}/chat/completions",
+                json=body.to_openai_request(),
+                headers=headers,
+            ) as upstream:
+                if upstream.status != 200:
+                    detail = (await upstream.text())[:500]
+                    await send_event({"object": "error", "message": detail})
+                    await resp.write(b"data: [DONE]\n\n")
+                    return resp
+                async for raw in upstream.content:
+                    line = raw.decode().strip()
+                    if not line.startswith("data:"):
+                        continue
+                    data = line[len("data:"):].strip()
+                    if data == "[DONE]":
+                        break
+                    try:
+                        chunk = json.loads(data)
+                    except json.JSONDecodeError:
+                        continue
+                    if "text" in body.modalities:
+                        await send_event(chunk)
+                    delta = (
+                        chunk.get("choices", [{}])[0].get("delta", {}).get("content") or ""
+                    )
+                    if delta and "audio" in body.modalities:
+                        accumulated.append(delta)
+                        words = "".join(accumulated).split()
+                        if len(words) >= body.vocalize_at_every_n_words:
+                            await vocalize("".join(accumulated))
+                            accumulated = []
+        if accumulated and "audio" in body.modalities:
+            await vocalize("".join(accumulated))
+        await resp.write(b"data: [DONE]\n\n")
+    except Exception as e:
+        logger.error("chat completion proxy failed: %s", e)
+        try:
+            await send_event({"object": "error", "message": str(e)})
+            await resp.write(b"data: [DONE]\n\n")
+        except ConnectionResetError:
+            pass
+    return resp
+
+
+async def handle_health(request: web.Request) -> web.Response:
+    tts: TTS = request.app[TTS_ENGINE_KEY]
+    return web.json_response({"status": "ok", "engine_loaded": tts.tts_engine is not None})
+
+
+def build_app(tts: TTS) -> web.Application:
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app[TTS_ENGINE_KEY] = tts
+    app.router.add_post("/v1/audio/speech", handle_audio_speech)
+    app.router.add_post("/v1/chat/completions", handle_chat_completions)
+    app.router.add_get("/health", handle_health)
+    return app
+
+
+def start_tts_engine(args) -> TTS:
+    tts = TTS(
+        scheduler_max_concurrency=args.max_concurrency,
+        vllm_logging_level=args.vllm_logging_level,
+    )
+    return tts.from_pretrained(args.model, gpt_model=args.gpt_model)
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = argparse.ArgumentParser(description="auralis-tpu OpenAI-compatible server")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--model", required=True, help="model directory")
+    parser.add_argument("--gpt_model", default=None, help="GPT weights directory")
+    parser.add_argument("--max_concurrency", type=int, default=10)
+    parser.add_argument(
+        "--vllm_logging_level", type=lambda s: getattr(logging, s.upper()),
+        default=logging.WARNING, help="backend logging level",
+    )
+    args = parser.parse_args(argv)
+
+    tts = start_tts_engine(args)
+    app = build_app(tts)
+    logger.info("Serving on http://%s:%d", args.host, args.port)
+    web.run_app(app, host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""OpenAI-compatible request schemas (capability parity with reference
+common/definitions/openai.py): speech generation and voice chat-completions,
+both converting to TTSRequest with base64-decoded speaker audio."""
+from __future__ import annotations
+
+import base64
+from dataclasses import fields as dc_fields
+from typing import Any, Dict, List, Literal, Optional
+
+from pydantic import BaseModel, Field, field_validator
+
+from ..common.requests import TTSRequest
+
+_tts_defaults = {
+    f.name: f.default for f in dc_fields(TTSRequest) if not callable(f.default)
+}
+
+
+class ChatCompletionMessage(BaseModel):
+    role: Literal["system", "user", "assistant"]
+    content: str
+
+
+def _validate_b64_list(v: List[str], what: str) -> List[str]:
+    if not v:
+        raise ValueError(f"At least one {what} is required")
+    for item in v:
+        try:
+            base64.b64decode(item, validate=True)
+        except Exception:
+            raise ValueError(f"Invalid base64 encoding in {what}")
+    return v
+
+
+class _TTSParamsMixin(BaseModel):
+    enhance_speech: bool = Field(default=_tts_defaults["enhance_speech"])
+    language: str = Field(default=_tts_defaults["language"])
+    max_ref_length: int = Field(default=_tts_defaults["max_ref_length"])
+    gpt_cond_len: int = Field(default=_tts_defaults["gpt_cond_len"])
+    gpt_cond_chunk_len: int = Field(default=_tts_defaults["gpt_cond_chunk_len"])
+    temperature: float = Field(default=_tts_defaults["temperature"])
+    top_p: float = Field(default=_tts_defaults["top_p"])
+    top_k: int = Field(default=_tts_defaults["top_k"])
+    repetition_penalty: float = Field(default=_tts_defaults["repetition_penalty"])
+    length_penalty: float = Field(default=_tts_defaults["length_penalty"])
+    do_sample: bool = Field(default=_tts_defaults["do_sample"])
+
+    def _tts_kwargs(self) -> Dict[str, Any]:
+        return dict(
+            enhance_speech=self.enhance_speech,
+            language=self.language,
+            max_ref_length=self.max_ref_length,
+            gpt_cond_len=self.gpt_cond_len,
+            gpt_cond_chunk_len=self.gpt_cond_chunk_len,
+            temperature=self.temperature,
+            top_p=self.top_p,
+            top_k=self.top_k,
+            repetition_penalty=self.repetition_penalty,
+            length_penalty=self.length_penalty,
+            do_sample=self.do_sample,
+        )
+
+
+class AudioSpeechGenerationRequest(_TTSParamsMixin):
+    """POST /v1/audio/speech body (OpenAI `audio.speech` compatible)."""
+
+    input: str = Field(..., description="Text to synthesize")
+    model: str = Field(..., description="Model name (informational)")
+    voice: List[str] = Field(..., description="Base64-encoded reference audio files")
+    response_format: Literal["mp3", "opus", "aac", "flac", "wav", "pcm"] = Field(default="wav")
+    speed: float = Field(default=1.0)
+
+    @field_validator("voice")
+    @classmethod
+    def _check_voice(cls, v):
+        return _validate_b64_list(v, "voice file")
+
+    def to_tts_request(self) -> TTSRequest:
+        return TTSRequest(
+            text=self.input,
+            stream=False,
+            speaker_files=[base64.b64decode(f) for f in self.voice],
+            **self._tts_kwargs(),
+        )
+
+
+class VoiceChatCompletionRequest(_TTSParamsMixin):
+    """POST /v1/chat/completions body: proxied LLM chat with interleaved
+    audio vocalization every N words."""
+
+    model: str
+    messages: List[ChatCompletionMessage]
+    speaker_files: List[str] = Field(..., description="Base64-encoded reference audio")
+    modalities: List[Literal["text", "audio"]] = Field(default=["text", "audio"])
+    openai_api_url: Optional[str] = Field(default=None, validate_default=True)
+    openai_api_key: Optional[str] = Field(default=None)
+    vocalize_at_every_n_words: int = Field(default=100, ge=1)
+    stream: bool = Field(default=True)
+
+    @field_validator("openai_api_url")
+    @classmethod
+    def _check_url(cls, v):
+        if v is None:
+            raise ValueError("You should always give a url for the text generation")
+        return v
+
+    @field_validator("stream")
+    @classmethod
+    def _check_stream(cls, v):
+        if not v:
+            raise ValueError(
+                "Streaming should be enabled! For non-streaming conversion use the audio endpoint"
+            )
+        return v
+
+    @field_validator("speaker_files")
+    @classmethod
+    def _check_speakers(cls, v):
+        return _validate_b64_list(v, "speaker file")
+
+    def to_tts_request(self, text: str = "") -> TTSRequest:
+        return TTSRequest(
+            text=text,
+            stream=False,
+            speaker_files=[base64.b64decode(f) for f in self.speaker_files],
+            **self._tts_kwargs(),
+        )
+
+    def to_openai_request(self) -> Dict[str, Any]:
+        """Strip the voice-specific fields for the upstream LLM call."""
+        skip = set(_tts_defaults) | {
+            "speaker_files", "openai_api_url", "openai_api_key",
+            "vocalize_at_every_n_words", "modalities",
+        }
+        out = {k: v for k, v in self.model_dump().items() if k not in skip}
+        out["stream"] = True
+        return out
