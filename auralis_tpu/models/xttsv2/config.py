@@ -75,6 +75,10 @@ class XTTSGPTConfig:
 
     num_cond_latents: int = 32  # perceiver output length in the sequence
 
+    # Use the Pallas flash-decode attention kernel (TPU); False falls back to
+    # the dense masked-XLA path (CPU tests, interpret-mode verification).
+    flash_decode: bool = False
+
     audio_config: GPTAudioConfig = field(default_factory=GPTAudioConfig)
 
     @property

@@ -47,10 +47,15 @@ class KVCache(NamedTuple):
 
 
 def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVCache:
+    # T is rounded up to the flash-decode DMA chunk so the Pallas kernel can
+    # tile it; the XLA path masks the padding.
+    from ...ops.attention import CHUNK
+
+    t_pad = -(-cfg.max_seq_len // CHUNK) * CHUNK
     shape = (
         cfg.num_hidden_layers,
         num_slots,
-        cfg.max_seq_len,
+        t_pad,
         cfg.num_attention_heads,
         cfg.head_dim,
     )
@@ -202,6 +207,8 @@ def gpt_decode_step(
     audio_pos: jax.Array,  # [S] int32 — audio position of that token
     seq_lens: jax.Array,  # [S] int32 — positions already in cache
     cache: KVCache,
+    len_bound: int | None = None,  # static upper bound on seq_lens+1; the
+    # dense path reads only cache[:, :len_bound] (bandwidth ∝ bound)
 ) -> tuple[jax.Array, KVCache]:
     """One decode step for every slot. Returns hidden (pre-ln_f) [S, D] and
     the cache with this step's K/V appended at `seq_lens`."""
@@ -209,13 +216,14 @@ def gpt_decode_step(
     d = cfg.hidden_size
     h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
     t_max = cache.max_len
+    bound = min(len_bound or t_max, t_max)
     scale = 1.0 / math.sqrt(head_dim)
     slot_idx = jnp.arange(s)
 
     x = params["wte"][tokens] + params["wpe"][jnp.clip(audio_pos, 0, cfg.audio_position_table - 1)]
     x = x.astype(cache.k.dtype)
 
-    key_pos = jnp.arange(t_max)
+    key_pos = jnp.arange(bound)
     att_mask = key_pos[None, :] <= seq_lens[:, None]  # include current position
     neg = jnp.finfo(jnp.float32).min
 
@@ -229,15 +237,24 @@ def gpt_decode_step(
         k = k.reshape(s, h_heads, head_dim).astype(ck.dtype)
         v = v.reshape(s, h_heads, head_dim).astype(cv.dtype)
 
-        ck = ck.at[layer, slot_idx, seq_lens].set(k)
-        cv = cv.at[layer, slot_idx, seq_lens].set(v)
+        if cfg.flash_decode:
+            from ...ops.attention import flash_decode_append_attention
 
-        k_all = ck[layer]  # [S, T, H, Dh]
-        v_all = cv[layer]
-        scores = jnp.einsum("shd,sthd->sht", q, k_all, preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(att_mask[:, None, :], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("sht,sthd->shd", probs, v_all, preferred_element_type=jnp.float32)
+            # fused in-kernel append + length-aware flash attention; the
+            # caches pass through the kernel aliased (no scatter, no copies)
+            ctx, ck, cv = flash_decode_append_attention(q, k, v, ck, cv, layer, seq_lens)
+        else:
+            ck = ck.at[layer, slot_idx, seq_lens].set(k)
+            cv = cv.at[layer, slot_idx, seq_lens].set(v)
+            k_all = ck[layer, :, :bound]  # [S, bound, H, Dh]
+            v_all = cv[layer, :, :bound]
+            scores = (
+                jnp.einsum("shd,sthd->sht", q, k_all, preferred_element_type=jnp.float32)
+                * scale
+            )
+            scores = jnp.where(att_mask[:, None, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("sht,sthd->shd", probs, v_all, preferred_element_type=jnp.float32)
         ctx = ctx.reshape(s, d).astype(x.dtype)
         x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
@@ -246,6 +263,13 @@ def gpt_decode_step(
         x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
         return x, ck, cv
 
+    if cfg.flash_decode:
+        # unroll layers: straight-line pallas calls keep the cache aliasing
+        # in-place (a fori-carried cache forces per-call copies)
+        ck, cv = cache.k, cache.v
+        for layer in range(cfg.num_hidden_layers):
+            x, ck, cv = body(layer, (x, ck, cv))
+        return x, KVCache(ck, cv)
     x, ck, cv = lax.fori_loop(0, cfg.num_hidden_layers, body, (x, cache.k, cache.v))
     return x, KVCache(ck, cv)
 

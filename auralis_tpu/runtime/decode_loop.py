@@ -170,17 +170,20 @@ def insert_sequence(
     return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, onehot, rng)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"), donate_argnames=("state",))
-def decode_steps(
-    params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1
+def _decode_steps_impl(
+    params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1,
+    len_bound: int | None = None,
 ) -> DecodeState:
     """Run `n_steps` decode iterations over all slots (inactive slots are
-    masked out of the bookkeeping; their compute is fixed-shape overhead)."""
+    masked out of the bookkeeping; their compute is fixed-shape overhead).
+    `len_bound` (static) caps the attention read length; the caller must
+    guarantee max(seq_lens) + n_steps < len_bound."""
 
     def one_step(state: DecodeState) -> DecodeState:
         was_active = state.active
         h, cache = gpt_decode_step(
-            params, cfg, state.last_token, state.audio_pos, state.seq_lens, state.cache
+            params, cfg, state.last_token, state.audio_pos, state.seq_lens, state.cache,
+            len_bound=len_bound,
         )
         logits, latent = heads(params, h)
         rng, sub = jax.random.split(state.rng)
@@ -193,6 +196,38 @@ def decode_steps(
     if n_steps == 1:
         return one_step(state)
     return lax.fori_loop(0, n_steps, lambda _, st: one_step(st), state)
+
+
+decode_steps = partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "len_bound"), donate_argnames=("state",)
+)(_decode_steps_impl)
+
+
+def pack_status(state: DecodeState) -> jax.Array:
+    """One int32 per slot: n_generated | active<<10 | done<<11 — a single
+    small array so one host fetch (one tunnel RTT) carries all step status."""
+    return (
+        state.n_generated
+        + (state.active.astype(jnp.int32) << 10)
+        + (state.done.astype(jnp.int32) << 11)
+    )
+
+
+def unpack_status(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = packed & 0x3FF
+    active = (packed >> 10) & 1
+    done = (packed >> 11) & 1
+    return active.astype(bool), done.astype(bool), n
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "len_bound"), donate_argnames=("state",))
+def decode_steps_status(
+    params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1,
+    len_bound: int | None = None,
+) -> tuple[DecodeState, jax.Array]:
+    """decode_steps plus the packed status vector, computed in-graph."""
+    state = _decode_steps_impl(params, cfg, state, n_steps, len_bound)
+    return state, pack_status(state)
 
 
 @partial(jax.jit, donate_argnames=("state",))
