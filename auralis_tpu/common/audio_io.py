@@ -49,7 +49,16 @@ def read_wav(source: AudioSource) -> tuple[np.ndarray, int]:
         if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3"):
             raise UnsupportedAudioFormat("MP3 decoding is not available in this build; provide WAV input")
         if head == b"fLaC":
-            raise UnsupportedAudioFormat("FLAC decoding is not available in this build; provide WAV input")
+            # first-party C++ decoder (native/src/flac.cc); handles streams
+            # from our encoder (fixed-predictor subframes)
+            from . import native_audio
+
+            audio, sr = native_audio.flac_decode(data)
+            if audio.ndim == 1:
+                audio = audio[None]
+            else:
+                audio = audio.T
+            return audio.astype(np.float32), sr
         if head == b"OggS":
             raise UnsupportedAudioFormat("Ogg/Opus decoding is not available in this build; provide WAV input")
         raise UnsupportedAudioFormat("Not a RIFF/WAVE file")

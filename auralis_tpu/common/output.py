@@ -74,8 +74,8 @@ class TTSOutput:
 
     # ------------------------------------------------------------ conversions
     def to_bytes(self, format: str = "wav", sample_width: int = 2) -> bytes:
-        """Serialize to 'wav' or raw 'pcm'. Compressed codecs (mp3/opus/aac/
-        flac) are not available in this environment and raise."""
+        """Serialize to 'wav', raw 'pcm', or 'flac' (first-party C++ encoder,
+        native/src/flac.cc). mp3/opus/aac need an external encoder and raise."""
         wav = np.clip(np.asarray(self.array, dtype=np.float32), -1.0, 1.0)
         if format == "wav":
             buf = io.BytesIO()
@@ -87,14 +87,21 @@ class TTSOutput:
             if sample_width == 4:
                 return (wav * 2147483647).astype("<i4").tobytes()
             return (wav * 127).astype(np.int8).tobytes()
-        if format in ("mp3", "opus", "aac", "flac"):
+        if format == "flac":
+            from . import native_audio
+
+            return native_audio.flac_encode(
+                wav, self.sample_rate,
+                bits_per_sample=16 if sample_width <= 2 else 24,
+            )
+        if format in ("mp3", "opus", "aac"):
             raise ValueError(
                 f"No {format} encoder is available in this environment; "
-                "use format='wav' or 'pcm'"
+                "use format='wav', 'flac' or 'pcm'"
             )
         raise ValueError(
-            f"Unsupported format: {format}. Supported formats are: wav, pcm "
-            "(mp3/opus/aac/flac need an external encoder)"
+            f"Unsupported format: {format}. Supported formats are: wav, flac, "
+            "pcm (mp3/opus/aac need an external encoder)"
         )
 
     def save(
@@ -124,7 +131,15 @@ class TTSOutput:
 
     @classmethod
     def from_file(cls, filename: Union[str, Path]) -> "TTSOutput":
-        audio, sr = audio_io.read_wav(filename)
+        data = Path(filename).read_bytes()
+        if data[:4] == b"fLaC":
+            from . import native_audio
+
+            audio, sr = native_audio.flac_decode(data)
+            if audio.ndim == 2:
+                audio = audio.mean(axis=1)
+            return cls(array=audio, sample_rate=sr)
+        audio, sr = audio_io.read_wav(io.BytesIO(data))
         return cls(array=audio.squeeze(), sample_rate=sr)
 
     @classmethod
