@@ -105,6 +105,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             cache_dtype=cache_dtype,
             steps_per_sync=steps_per_sync,
             seed=seed,
+            device_latents=True,  # vocoder reads latents straight from HBM
         )
 
         self._vocoder_jits: dict[int, Any] = {}
@@ -425,6 +426,45 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         )
         return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
 
+    def _vocode_row_fn(self):
+        """Jitted vocoder over a device-resident latent row [T_audio, D]
+        (straight out of the decode loop's latents_buf — zero host round-trip
+        for the [T, D] floats). Positions >= n hold stale slot data and are
+        masked in-graph; the row is padded to the single vocoder bucket."""
+        if "row" not in self._vocoder_jits:
+            cfg = self.hifi_config
+            t_max = self.gpt_config.max_audio_tokens
+            bucket = (
+                math.ceil(t_max / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP
+            )
+
+            @jax.jit
+            def run(hp, row, n, g):
+                row = jnp.where(jnp.arange(t_max)[:, None] < n, row, 0.0)
+                padded = jnp.zeros((1, bucket, row.shape[-1]), jnp.float32)
+                padded = padded.at[0, :t_max].set(row.astype(jnp.float32))
+                return hifi_decoder(
+                    hp, padded, g,
+                    ar_mel_length_compression=cfg.gpt_code_stride_len,
+                    output_hop_length=cfg.output_hop_length,
+                    input_sample_rate=cfg.input_sample_rate,
+                    output_sample_rate=cfg.output_sample_rate,
+                )
+
+            self._vocoder_jits["row"] = run
+        return self._vocoder_jits["row"]
+
+    def vocode_device_row(
+        self, latents_row: jax.Array, n: int, speaker_embedding: np.ndarray
+    ) -> np.ndarray:
+        """Vocode a device-resident latent row (see DecodeEngine
+        device_latents); only the waveform crosses back to the host."""
+        wav = self._vocode_row_fn()(
+            self.core["hifigan"], latents_row, jnp.int32(n),
+            jnp.asarray(speaker_embedding),
+        )
+        return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
+
     async def process_tokens_to_speech(
         self,
         generator,  # an asyncio future from get_generation_context
@@ -434,11 +474,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
     ) -> AsyncGenerator[TTSOutput, None]:
         """Phase 2: await the chunk's decode, vocode, yield one TTSOutput."""
         assert speaker_embeddings is not None, "XTTSv2 needs speaker embeddings"
-        tokens, latents = await generator
-        if latents.shape[0] == 0:
+        tokens, latents, n = await generator
+        if n == 0:
             return
         with span("phase2.vocode"):
-            wav = await asyncio.to_thread(self.vocode, latents, speaker_embeddings)
+            wav = await asyncio.to_thread(
+                self.vocode_device_row, latents, n, speaker_embeddings
+            )
         yield TTSOutput(
             array=wav,
             sample_rate=self.hifi_config.output_sample_rate,

@@ -257,3 +257,19 @@ def harvest(state: DecodeState, slot: int) -> tuple[np.ndarray, np.ndarray]:
     )
     n = int(n)
     return np.asarray(tokens)[:n], np.asarray(latents)[:n]
+
+
+def harvest_tokens(state: DecodeState, slot: int, n: int) -> np.ndarray:
+    """Fetch only a finished slot's token row (~2.4 KB — one cheap transfer);
+    the [T, D] float latents stay on device (see harvest_latents_device)."""
+    tokens = jax.device_get(state.tokens_buf[slot])
+    return np.asarray(tokens)[:n]
+
+
+def harvest_latents_device(state: DecodeState, slot: int) -> jax.Array:
+    """Gather a finished slot's full latent row [T_audio, D] into a fresh
+    device buffer (no host transfer). The copy is independent of the decode
+    state, so the slot can be released and refilled while a downstream
+    program (the vocoder) consumes the row; positions >= n hold stale values
+    and must be masked by the consumer."""
+    return state.latents_buf[slot]

@@ -27,7 +27,7 @@ from ..models.xttsv2.config import XTTSGPTConfig
 from .decode_loop import (
     DecodeState,
     decode_steps_status,
-    harvest,
+    harvest_latents_device,
     init_decode_state,
     insert_sequence,
     prefill_bucket,
@@ -68,11 +68,17 @@ class DecodeEngine:
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 8,
         seed: int = 0,
+        device_latents: bool = False,
     ):
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_sync = steps_per_sync
+        # device_latents=True resolves futures with (tokens, latent_row, n)
+        # where latent_row is the full [T_audio, D] row still on device —
+        # the vocoder consumes it without a host round-trip (positions >= n
+        # are stale and must be masked in-graph).
+        self.device_latents = device_latents
         self.state: DecodeState = init_decode_state(
             cfg, num_slots, jax.random.PRNGKey(seed), dtype=cache_dtype
         )
@@ -80,6 +86,12 @@ class DecodeEngine:
         self._slot_owner: dict[int, _Pending] = {}
         self._slot_meta: dict[int, dict] = {}
         self._steps_total = 0
+        # runner telemetry (reset with reset_stats): where wall time goes
+        self.stats = {
+            "blocks": 0, "dispatch_s": 0.0, "status_wait_s": 0.0,
+            "insert_s": 0.0, "harvest_s": 0.0, "occupancy_sum": 0,
+            "idle_waits": 0, "loop_other_s": 0.0,
+        }
         self._runner: Optional[asyncio.Task] = None
         self._wake = asyncio.Event()
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -182,23 +194,47 @@ class DecodeEngine:
             "steps_at_insert": self._steps_total,
         }
 
-    def _harvest_done(self, done: np.ndarray) -> None:
+    def _harvest_done(self, done: np.ndarray, n_generated: np.ndarray) -> None:
+        """Free finished slots. Only device-side gathers + the slot release
+        happen here (dispatch-only, never blocks); the host fetch of the
+        token row and the future resolution run in a spawned task so the
+        runner can dispatch the next decode block immediately — otherwise
+        the device idles for a tunnel RTT per finished chunk."""
+        loop = asyncio.get_running_loop()
         for slot in np.nonzero(done)[0].tolist():
             pending = self._slot_owner.pop(slot, None)
             self._slot_meta.pop(slot, None)
             if pending is None:
                 continue
-            tokens, latents = harvest(self.state, slot)
+            n = int(n_generated[slot])
+            # gathers make fresh device buffers, independent of the slot
+            tokens_row = self.state.tokens_buf[slot]
+            latents_row = harvest_latents_device(self.state, slot)
             self.state = release_slot(self.state, jnp.int32(slot))
-            if not pending.future.done():
-                # drop a trailing stop token from the token list; latents keep
-                # the step that predicted it (reference: XTTSv2.py:645,685-687)
-                if len(tokens) and tokens[-1] == self.cfg.stop_audio_token:
-                    tokens = tokens[:-1]
-                try:
-                    pending.future.set_result((tokens, latents))
-                except RuntimeError:
-                    pass  # future's loop already closed (stale cross-loop request)
+            loop.create_task(self._resolve_harvest(pending, tokens_row, latents_row, n))
+
+    async def _resolve_harvest(
+        self, pending: _Pending, tokens_row, latents_row, n: int
+    ) -> None:
+        tokens = np.asarray(
+            await asyncio.to_thread(jax.device_get, tokens_row)
+        )[:n]
+        # drop a trailing stop token from the token list; latents keep
+        # the step that predicted it (reference: XTTSv2.py:645,685-687)
+        if len(tokens) and tokens[-1] == self.cfg.stop_audio_token:
+            tokens = tokens[:-1]
+        if self.device_latents:
+            result = (tokens, latents_row, n)
+        else:
+            latents = np.asarray(
+                await asyncio.to_thread(jax.device_get, latents_row)
+            )[:n]
+            result = (tokens, latents)
+        if not pending.future.done():
+            try:
+                pending.future.set_result(result)
+            except RuntimeError:
+                pass  # future's loop already closed (stale cross-loop request)
 
     async def _run(self) -> None:
         """Pipelined decode loop: dispatch decode block k+1 before reading
@@ -206,8 +242,10 @@ class DecodeEngine:
         device compute. Done-detection lags one block; the extra masked steps
         for a finished slot are no-ops."""
         pending_status = None  # device array from the previous block
+        st = self.stats
         while not self._closed:
             # fill free slots from the queue (prefill interleaves with decode)
+            t0 = time.perf_counter()
             free = self._free_slots()
             inserted = False
             while free and self._queue:
@@ -215,9 +253,11 @@ class DecodeEngine:
                 inserted = True
             if inserted:
                 pending_status = None  # state advanced; old status is stale
+            st["insert_s"] += time.perf_counter() - t0
 
             if not self._slot_owner and not self._queue:
                 pending_status = None
+                st["idle_waits"] += 1
                 self._wake.clear()
                 try:
                     await asyncio.wait_for(self._wake.wait(), timeout=5.0)
@@ -226,18 +266,26 @@ class DecodeEngine:
                 continue
 
             if self._slot_owner:
+                t0 = time.perf_counter()
                 self.state, packed = decode_steps_status(
                     self.params, self.cfg, self.state,
                     n_steps=self.steps_per_sync, len_bound=self._len_bucket(),
                 )
+                t1 = time.perf_counter()
+                st["blocks"] += 1
+                st["dispatch_s"] += t1 - t0
+                st["occupancy_sum"] += len(self._slot_owner)
                 self._steps_total += self.steps_per_sync
                 if pending_status is not None:
                     # overlaps with the block just dispatched
-                    _, done, _ = unpack_status(
+                    _, done, n_gen = unpack_status(
                         np.asarray(await asyncio.to_thread(jax.device_get, pending_status))
                     )
+                    st["status_wait_s"] += time.perf_counter() - t1
                     if done.any():
-                        self._harvest_done(done)
+                        t2 = time.perf_counter()
+                        self._harvest_done(done, n_gen)
+                        st["harvest_s"] += time.perf_counter() - t2
                 pending_status = packed
             # cede the loop so producers/consumers run between syncs
             await asyncio.sleep(0)

@@ -5,8 +5,11 @@ continuous-batched decode -> vocoder) with the production architecture
 (30L/1024d GPT, full HiFi-GAN) and random weights (no checkpoint ships with
 this environment; compute cost is weight-value-independent).
 
-Workload: BASELINE config 4 style — a batch of text chunks at
-scheduler_max_concurrency=8. Metric: RTF = wall_time / seconds_of_audio.
+Workload: BASELINE config 4 — e-book vocalization at
+scheduler_max_concurrency=8: 8 concurrent long-text requests, each splitting
+into many ~240-char chunks (the reference's own scale-out axis, SURVEY.md
+§2.2), keeping all decode slots saturated exactly as a book does.
+Metric: RTF = wall_time / seconds_of_audio.
 Reference headline: RTF ~= 0.02 on an RTX 3090 (README.md:11).
 `vs_baseline` = baseline_rtf / our_rtf (>1 means faster than the reference).
 
@@ -16,6 +19,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import sys
 import time
 
@@ -24,7 +28,8 @@ import numpy as np
 
 BASELINE_RTF = 0.02
 CONCURRENCY = 8
-N_CHUNKS = 16  # text chunks in flight across requests
+CHUNKS_PER_REQUEST = 8  # each request is a multi-paragraph "book section"
+N_REQUESTS = 8
 
 
 def build_engine():
@@ -54,8 +59,9 @@ def build_engine():
         tokenizer=tokenizer,
         dtype=jnp.bfloat16,
         max_concurrency=CONCURRENCY,
-        decode_slots=32,  # ~4 GiB KV; chunk-level parallelism beyond requests
-        steps_per_sync=32,
+        # ~5 GiB KV at 32 slots; chunk-level parallelism beyond request count
+        decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "32")),
+        steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "32")),
     )
     return engine, cfg
 
@@ -79,16 +85,18 @@ def main() -> None:
         "the quick brown fox jumps over the lazy dog while voice cloning "
         "speech synthesis runs on tensor processing hardware. "
     )
-    chunk_text = (sentence * 3)[:240]  # one ~240-char chunk each
-    texts = [chunk_text] * N_CHUNKS
+    # a "book section": the smart chunker packs this into ~CHUNKS_PER_REQUEST
+    # ~240-char chunks, which all enter the decode loop as parallel sequences
+    section_text = sentence * (2 * CHUNKS_PER_REQUEST)
 
-    def make_requests():
+    def make_requests(n=N_REQUESTS):
         return [
             TTSRequest(
-                text=txt, speaker_files=["/tmp/bench_speaker.wav"], language="en",
+                text=section_text, speaker_files=["/tmp/bench_speaker.wav"],
+                language="en",
                 temperature=0.75, top_p=0.85, top_k=50, repetition_penalty=5.0,
             )
-            for txt in texts
+            for _ in range(n)
         ]
 
     async def run_batch(requests):
@@ -97,7 +105,7 @@ def main() -> None:
 
     # warmup: compile every program (prefill bucket, decode, vocoder buckets,
     # conditioning, speaker encoder)
-    tts.loop.run_until_complete(run_batch(make_requests()[:2]))
+    tts.loop.run_until_complete(run_batch(make_requests(2)))
 
     t0 = time.time()
     outs = tts.loop.run_until_complete(run_batch(make_requests()))
@@ -111,7 +119,8 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "full-pipeline RTF (wall / generated-audio-seconds), "
-                f"{N_CHUNKS} chunks @ concurrency {CONCURRENCY}, 30L GPT + HiFi-GAN",
+                f"e-book style: {N_REQUESTS} requests x ~{CHUNKS_PER_REQUEST} chunks "
+                f"@ concurrency {CONCURRENCY}, 30L GPT + HiFi-GAN",
                 "value": round(rtf, 5),
                 "unit": "x realtime",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),

@@ -1,0 +1,135 @@
+"""Micro-profile of every device program in the serving path on the current
+backend: decode step (by occupancy x length bucket), prefill insert, vocoder,
+conditioning, speaker encoder. Prints a table + implied RTF budget.
+
+Usage: python tools/profile_components.py [--slots 32] [--steps 64]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, n=5, warmup=1, **kw):
+    for _ in range(warmup):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=32)
+    ap.add_argument("--steps", type=int, default=32)
+    args = ap.parse_args()
+
+    from auralis_tpu.models.xttsv2.config import XTTSConfig
+    from auralis_tpu.models.xttsv2.gpt import init_gpt_params
+    from auralis_tpu.runtime.decode_loop import (
+        decode_steps_status,
+        init_decode_state,
+        insert_sequence,
+        prefill_bucket,
+    )
+    from auralis_tpu.models.xttsv2.hifigan import hifi_decoder, init_hifigan_params
+
+    print(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
+    cfg = XTTSConfig().gpt
+    key = jax.random.PRNGKey(0)
+    params = init_gpt_params(cfg, key, dtype=jnp.bfloat16)
+    S = args.slots
+
+    # token/sec of audio: gpt_code_stride_len upsample to 24 kHz
+    sec_per_token = 1024 / 22050  # ≈ 46.4 ms of audio per mel token
+
+    # ---- prefill ----
+    state = init_decode_state(cfg, S, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    prefill_ms = {}
+    for blen in (128, 256):
+        b = prefill_bucket(blen, cfg.max_seq_len)
+        embeds = jnp.zeros((b, cfg.hidden_size), jnp.bfloat16)
+        def ins(st):
+            return insert_sequence(
+                params, cfg, st, embeds, jnp.int32(blen), jnp.int32(0),
+                jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+                jnp.float32(5.0), jnp.bool_(True),
+            )
+        state = ins(state)  # compile (donated: thread through)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state = ins(state)
+        jax.block_until_ready(state)
+        dt = (time.perf_counter() - t0) / 5
+        prefill_ms[b] = dt * 1e3
+        print(f"prefill bucket {b}: {dt*1e3:8.2f} ms")
+
+    # ---- decode: occupancy x len_bound ----
+    print(f"\ndecode_steps ({args.steps} steps fused):")
+    for occ in (8, 16, 32):
+        if occ > S:
+            continue
+        state = init_decode_state(cfg, S, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+        embeds = jnp.zeros((256, cfg.hidden_size), jnp.bfloat16)
+        for i in range(occ):
+            state = insert_sequence(
+                params, cfg, state, embeds, jnp.int32(200), jnp.int32(i),
+                jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+                jnp.float32(5.0), jnp.bool_(True),
+            )
+        for bound in (256, 512, 1024):
+            def step(st):
+                st2, _ = decode_steps_status(
+                    params, cfg, st, n_steps=args.steps, len_bound=bound
+                )
+                return st2
+            # donated state: thread it through each timed call
+            state = step(state)  # compile
+            jax.block_until_ready(state)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                state = step(state)
+            jax.block_until_ready(state)
+            dt = (time.perf_counter() - t0) / 3
+            ms_per_step = dt * 1e3 / args.steps
+            # audio throughput if all occ slots were live
+            rtf = ms_per_step / 1e3 / (occ * sec_per_token)
+            print(
+                f"  occ {occ:3d} len_bound {bound:5d}: {ms_per_step:7.2f} ms/step"
+                f"  -> decode-only RTF {rtf:.4f}"
+            )
+
+    # ---- vocoder ----
+    print("\nvocoder (HiFi-GAN full):")
+    hp = init_hifigan_params(
+        jax.random.PRNGKey(2), in_channels=cfg.hidden_size, cond_channels=512,
+        upsample_initial=512, dtype=jnp.float32,
+    )
+    voc = jax.jit(lambda p, l, g: hifi_decoder(
+        p, l, g, ar_mel_length_compression=1024, output_hop_length=256,
+        input_sample_rate=22050, output_sample_rate=24000))
+    for bucket, batch in ((640, 1), (640, 4)):
+        lat = jnp.zeros((batch, bucket, cfg.hidden_size), jnp.float32)
+        g = jnp.zeros((batch, 512), jnp.float32)
+        dt, _ = timeit(voc, hp, lat, g, n=3)
+        audio_s = batch * bucket * sec_per_token
+        print(
+            f"  bucket {bucket} batch {batch}: {dt*1e3:8.1f} ms"
+            f"  ({audio_s:.1f}s audio -> RTF {dt/audio_s:.4f})"
+        )
+
+
+if __name__ == "__main__":
+    main()
