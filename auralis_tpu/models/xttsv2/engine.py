@@ -25,6 +25,7 @@ from typing import Any, AsyncGenerator, List, Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ...common import audio_io
 from ...common.logger import setup_logger
@@ -52,6 +53,17 @@ from ...runtime.engine_core import DecodeEngine, SamplingOptions
 logger = setup_logger("xttsv2")
 
 LATENT_BUCKETS_STEP = 64
+
+# Intra-chunk streaming vocode segmentation, in post-interp frames (one
+# post-interp frame = 256 output samples). The HiFi-GAN generator's receptive
+# field is ~14 post-interp frames (conv_pre k7 + MRF k11/d5 at the x8 stage
+# dominate), so PAD_PF=16 of context on each side makes segment outputs
+# bit-match the full-row vocoder away from chunk boundaries — and because the
+# full-row program also zero-masks past the true length, segment streaming
+# reproduces the non-streaming waveform EXACTLY.
+SEG_PF = 128  # ~1.37 s of audio per segment
+FIRST_SEG_PF = 64  # emit the first audio sooner (time-to-first-audio)
+PAD_PF = 16
 
 
 class XTTSv2Engine(BaseAsyncTTSEngine):
@@ -377,9 +389,14 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         handles, request_ids = [], []
         for idx, ids in enumerate(token_chunks):
             prompt = self._build_prompt(gpt_cond_latent, ids)
-            handles.append(
-                asyncio.ensure_future(self.decode_engine.generate(prompt, options))
+            # streaming requests get a snapshot mailbox so audio segments can
+            # be vocoded while the chunk is still decoding (intra-chunk
+            # streaming; the reference streams only whole chunks, §3.3)
+            queue = asyncio.Queue() if request.stream else None
+            fut = asyncio.ensure_future(
+                self.decode_engine.generate(prompt, options, stream_queue=queue)
             )
+            handles.append((fut, queue))
             request_ids.append(f"{request.request_id}_{idx}")
         return handles, request_ids, speaker_embeddings, gpt_cond_latent
 
@@ -465,6 +482,80 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         )
         return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
 
+    # ------------------------------------------------- streaming vocoder
+    def _total_pf(self, n_latents: int) -> int:
+        """Post-interp frame count for n latents (== _true_wav_len // 256)."""
+        return self._true_wav_len(n_latents) // 256
+
+    @property
+    def _bucket_pf(self) -> int:
+        cfg = self.hifi_config
+        bucket = (
+            math.ceil(self.gpt_config.max_audio_tokens / LATENT_BUCKETS_STEP)
+            * LATENT_BUCKETS_STEP
+        )
+        return self._total_pf(bucket)
+
+    def _vocode_seg_fn(self):
+        """Jitted segment vocoder: interps the full masked row exactly like
+        the full-row program, slices [slice_start, slice_start + PAD+SEG+PAD)
+        post-interp frames, and runs the generator on the slice. With PAD_PF
+        >= the generator's receptive field, the emitted center equals the
+        full-row output sample-for-sample."""
+        if "seg" not in self._vocoder_jits:
+            from .hifigan import hifigan_generator
+            from ...ops.interpolate import interp_linear_scale
+
+            cfg = self.hifi_config
+            t_max = self.gpt_config.max_audio_tokens
+            bucket = (
+                math.ceil(t_max / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP
+            )
+            slice_len = PAD_PF + SEG_PF + PAD_PF
+
+            @jax.jit
+            def run(hp, row, n, slice_start, g):
+                row = jnp.where(jnp.arange(t_max)[:, None] < n, row, 0.0)
+                padded = jnp.zeros((1, bucket, row.shape[-1]), jnp.float32)
+                padded = padded.at[0, :t_max].set(row.astype(jnp.float32))
+                z = jnp.swapaxes(padded, 1, 2)
+                z = interp_linear_scale(
+                    z, cfg.gpt_code_stride_len / cfg.output_hop_length
+                )
+                if cfg.output_sample_rate != cfg.input_sample_rate:
+                    z = interp_linear_scale(
+                        z, cfg.output_sample_rate / cfg.input_sample_rate
+                    )
+                zs = lax.dynamic_slice(
+                    z, (0, 0, slice_start), (1, z.shape[1], slice_len)
+                )
+                return hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), g)
+
+            self._vocoder_jits["seg"] = run
+        return self._vocoder_jits["seg"]
+
+    def _vocode_segment(
+        self,
+        latents_row: jax.Array,
+        n_mask: int,
+        emit_start_pf: int,
+        emit_count_pf: int,
+        speaker_embedding: np.ndarray,
+    ) -> np.ndarray:
+        """Emit post-interp frames [emit_start, emit_start + emit_count) as
+        256 samples each, identical to the full-row vocoder's output."""
+        slice_len = PAD_PF + SEG_PF + PAD_PF
+        slice_start = min(
+            max(emit_start_pf - PAD_PF, 0), max(self._bucket_pf - slice_len, 0)
+        )
+        offset = emit_start_pf - slice_start
+        wav = self._vocode_seg_fn()(
+            self.core["hifigan"], latents_row, jnp.int32(n_mask),
+            jnp.int32(slice_start), jnp.asarray(speaker_embedding),
+        )
+        out = np.asarray(wav[0], np.float32)
+        return out[offset * 256 : (offset + emit_count_pf) * 256]
+
     async def process_tokens_to_speech(
         self,
         generator,  # an asyncio future from get_generation_context
@@ -472,21 +563,61 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         multimodal_data: Optional[np.ndarray] = None,
         request: TTSRequest = None,
     ) -> AsyncGenerator[TTSOutput, None]:
-        """Phase 2: await the chunk's decode, vocode, yield one TTSOutput."""
+        """Phase 2: vocode the chunk. Non-streaming: one full-row vocode when
+        the chunk finishes. Streaming: vocode fixed segments from latent
+        snapshots while the chunk is still decoding; the concatenation of the
+        emitted segments equals the non-streaming waveform exactly."""
         assert speaker_embeddings is not None, "XTTSv2 needs speaker embeddings"
-        tokens, latents, n = await generator
-        if n == 0:
-            return
-        with span("phase2.vocode"):
-            wav = await asyncio.to_thread(
-                self.vocode_device_row, latents, n, speaker_embeddings
-            )
-        yield TTSOutput(
-            array=wav,
-            sample_rate=self.hifi_config.output_sample_rate,
-            start_time=request.start_time if request else None,
-            token_length=int(len(tokens)),
+        future, queue = (
+            generator if isinstance(generator, tuple) else (generator, None)
         )
+        sr = self.hifi_config.output_sample_rate
+
+        if queue is None:
+            tokens, latents, n = await future
+            if n == 0:
+                return
+            with span("phase2.vocode"):
+                wav = await asyncio.to_thread(
+                    self.vocode_device_row, latents, n, speaker_embeddings
+                )
+            yield TTSOutput(
+                array=wav, sample_rate=sr,
+                start_time=request.start_time if request else None,
+                token_length=int(len(tokens)),
+            )
+            return
+
+        emitted_pf = 0
+        pf_per_token = self._total_pf(self.gpt_config.max_audio_tokens) / max(
+            self.gpt_config.max_audio_tokens, 1
+        )
+        while True:
+            row, n, final = await queue.get()
+            if final:
+                high = self._total_pf(n)
+            else:
+                # latents >= n-2 still blend with the mask boundary in the
+                # interp; hold back a generator receptive field as well so
+                # every emitted sample is final
+                high = max(0, self._total_pf(max(0, n - 2)) - PAD_PF)
+            threshold = FIRST_SEG_PF if emitted_pf == 0 else SEG_PF
+            while (high - emitted_pf >= threshold) or (final and high > emitted_pf):
+                emit = min(SEG_PF, high - emitted_pf)
+                with span("phase2.vocode_segment"):
+                    wav = await asyncio.to_thread(
+                        self._vocode_segment, row, n, emitted_pf, emit,
+                        speaker_embeddings,
+                    )
+                emitted_pf += emit
+                threshold = SEG_PF
+                yield TTSOutput(
+                    array=wav, sample_rate=sr,
+                    start_time=request.start_time if request else None,
+                    token_length=int(round(emit / pf_per_token)),
+                )
+            if final:
+                break
 
     async def shutdown(self) -> None:
         await self.decode_engine.shutdown()

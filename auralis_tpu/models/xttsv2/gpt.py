@@ -32,7 +32,13 @@ from .config import XTTSGPTConfig
 
 
 class KVCache(NamedTuple):
-    """Dense slot-batched KV cache: k/v are [L, S, T_max, H, Dh]."""
+    """Dense slot-batched KV cache: k/v are [L, S, T_max, H*Dh].
+
+    Heads stay FLAT in the minor dimension: H*Dh = hidden_size (1024) tiles
+    cleanly onto the TPU's (8, 128) layout, whereas a trailing [H=16, Dh=64]
+    pair pads 64 -> 128 lanes and silently DOUBLES both the cache's HBM
+    footprint and every read's bandwidth. Attention reshapes views per use.
+    """
 
     k: jax.Array
     v: jax.Array
@@ -56,8 +62,7 @@ def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVC
         cfg.num_hidden_layers,
         num_slots,
         t_pad,
-        cfg.num_attention_heads,
-        cfg.head_dim,
+        cfg.num_attention_heads * cfg.head_dim,
     )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
@@ -186,8 +191,10 @@ def gpt_prefill(
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
         x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
 
-        ck = lax.dynamic_update_slice(ck, k[None, None].astype(ck.dtype), (layer, slot, 0, 0, 0))
-        cv = lax.dynamic_update_slice(cv, v[None, None].astype(cv.dtype), (layer, slot, 0, 0, 0))
+        k_flat = k.reshape(t_pad, d).astype(ck.dtype)
+        v_flat = v.reshape(t_pad, d).astype(cv.dtype)
+        ck = lax.dynamic_update_slice(ck, k_flat[None, None], (layer, slot, 0, 0))
+        cv = lax.dynamic_update_slice(cv, v_flat[None, None], (layer, slot, 0, 0))
         return x, ck, cv
 
     x, ck, cv = lax.fori_loop(
@@ -219,6 +226,12 @@ def gpt_decode_step(
     bound = min(len_bound or t_max, t_max)
     scale = 1.0 / math.sqrt(head_dim)
     slot_idx = jnp.arange(s)
+    # [HD, H] 0/1 head-membership matrix (trace-time constant) for the
+    # flat-layout attention below
+    head_onehot = jnp.asarray(
+        (np.arange(d) // head_dim)[:, None] == np.arange(h_heads)[None, :],
+        jnp.float32,
+    )
 
     x = params["wte"][tokens] + params["wpe"][jnp.clip(audio_pos, 0, cfg.audio_position_table - 1)]
     x = x.astype(cache.k.dtype)
@@ -232,29 +245,39 @@ def gpt_decode_step(
         bp = _block_params(params["blocks"], layer)
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
         qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(s, h_heads, head_dim)
-        k = k.reshape(s, h_heads, head_dim).astype(ck.dtype)
-        v = v.reshape(s, h_heads, head_dim).astype(cv.dtype)
-
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # each [S, D] flat
         if cfg.flash_decode:
             from ...ops.attention import flash_decode_append_attention
 
             # fused in-kernel append + length-aware flash attention; the
             # caches pass through the kernel aliased (no scatter, no copies)
-            ctx, ck, cv = flash_decode_append_attention(q, k, v, ck, cv, layer, seq_lens)
+            ctx, ck, cv = flash_decode_append_attention(
+                q.reshape(s, h_heads, head_dim), k.astype(ck.dtype),
+                v.astype(cv.dtype), ck, cv, layer, seq_lens,
+            )
         else:
-            ck = ck.at[layer, slot_idx, seq_lens].set(k)
-            cv = cv.at[layer, slot_idx, seq_lens].set(v)
-            k_all = ck[layer, :, :bound]  # [S, bound, H, Dh]
+            ck = ck.at[layer, slot_idx, seq_lens].set(k.astype(ck.dtype))
+            cv = cv.at[layer, slot_idx, seq_lens].set(v.astype(cv.dtype))
+            # Attention entirely in the flat [T, H*Dh] lane layout: a
+            # reshape to [.., H, Dh=64] would force a 2x-padded relayout
+            # copy of the whole cache read (Dh < the 128-lane tile).
+            # Per-head reductions are instead matmuls against a
+            # block-diagonal Q ([HD, H]) and per-head broadcasts matmuls
+            # against its 0/1 transpose — same trick as the Pallas kernel.
+            k_all = ck[layer, :, :bound]  # [S, bound, HD] — no relayout
             v_all = cv[layer, :, :bound]
+            qmat = q.astype(jnp.float32)[:, :, None] * head_onehot[None]  # [S, HD, H]
             scores = (
-                jnp.einsum("shd,sthd->sht", q, k_all, preferred_element_type=jnp.float32)
+                jnp.einsum("stc,sch->sht", k_all.astype(jnp.float32), qmat,
+                           preferred_element_type=jnp.float32)
                 * scale
             )
             scores = jnp.where(att_mask[:, None, :], scores, neg)
-            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-            ctx = jnp.einsum("sht,sthd->shd", probs, v_all, preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1)
+            p_lanes = jnp.einsum(
+                "sht,hc->stc", probs, head_onehot.T, preferred_element_type=jnp.float32
+            )  # [S, bound, HD]
+            ctx = jnp.sum(p_lanes * v_all.astype(jnp.float32), axis=1)  # [S, HD]
         ctx = ctx.reshape(s, d).astype(x.dtype)
         x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])

@@ -150,9 +150,9 @@ def _kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(3, 4))
 def flash_decode_append_attention(
     q: jax.Array,  # [S, H, D]
-    k_new: jax.Array,  # [S, H, D] — this step's key, appended in-kernel
-    v_new: jax.Array,  # [S, H, D]
-    k_cache: jax.Array,  # [L, S, T, H, D] — T % CHUNK == 0; donated/aliased
+    k_new: jax.Array,  # [S, H*D] flat — this step's key, appended in-kernel
+    v_new: jax.Array,  # [S, H*D] flat
+    k_cache: jax.Array,  # [L, S, T, H*D] flat — T % CHUNK == 0; donated/aliased
     v_cache: jax.Array,
     layer: jax.Array,  # scalar i32
     write_pos: jax.Array,  # [S] i32 — keys already cached (= append index)
@@ -160,11 +160,13 @@ def flash_decode_append_attention(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused append + length-aware flash attention over the slot cache.
     Returns (context [S,H,D], k_cache, v_cache); the caches are updated
-    in-kernel and pass through aliased — no copies around the custom call."""
+    in-kernel and pass through aliased — no copies around the custom call.
+    Caches and new K/V use the flat [.., H*D] layout (lane-aligned, no tile
+    padding — see models/xttsv2/gpt.py KVCache)."""
     s, h, d = q.shape
-    l, _, t = k_cache.shape[:3]
+    l, _, t, hd = k_cache.shape
     assert t % CHUNK == 0, f"cache T dim ({t}) must be a multiple of {CHUNK}"
-    hd = h * d
+    assert hd == h * d
     scale = 1.0 / math.sqrt(d)
 
     # block-diagonal scaled Q: qmat[s, j, head] = q[s, j] * scale where lane j
@@ -176,8 +178,8 @@ def flash_decode_append_attention(
     qmat = q.reshape(s, hd).astype(jnp.float32)[:, :, None] * onehot[None] * scale
     expand = onehot.T  # [H, HD]
 
-    k_flat = k_cache.reshape(l, s, t, hd)
-    v_flat = v_cache.reshape(l, s, t, hd)
+    k_flat = k_cache
+    v_flat = v_cache
     k_new_flat = k_new.reshape(s, 1, hd).astype(k_cache.dtype)
     v_new_flat = v_new.reshape(s, 1, hd).astype(v_cache.dtype)
 
@@ -230,8 +232,4 @@ def flash_decode_append_attention(
         k_flat,
         v_flat,
     )
-    return (
-        ctx.reshape(s, h, d),
-        k_out.reshape(l, s, t, h, d),
-        v_out.reshape(l, s, t, h, d),
-    )
+    return ctx.reshape(s, h, d), k_out, v_out

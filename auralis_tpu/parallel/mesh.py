@@ -77,10 +77,12 @@ def gpt_param_specs() -> dict:
 
 def decode_state_specs() -> dict:
     """PartitionSpecs for the DecodeState pytree: slots ride the data axis,
-    KV heads ride the model axis."""
+    KV lanes (flat H*Dh, see gpt.py KVCache) ride the model axis — head h
+    owns lanes [h*Dh, (h+1)*Dh), so lane sharding IS head sharding as long
+    as tp divides the head count."""
     dp, tp = DATA_AXIS, MODEL_AXIS
     return {
-        "cache": {"k": P(None, dp, None, tp, None), "v": P(None, dp, None, tp, None)},
+        "cache": {"k": P(None, dp, None, tp), "v": P(None, dp, None, tp)},
         "sampling": {
             "temperature": P(dp),
             "top_p": P(dp),

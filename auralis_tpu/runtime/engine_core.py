@@ -53,6 +53,11 @@ class _Pending:
     length: int
     options: SamplingOptions
     future: asyncio.Future
+    # streaming mode: the runner pushes (latents_row_device, n_available)
+    # snapshots here after every decode block, so a consumer can vocode
+    # segments while the sequence is still decoding (intra-chunk streaming —
+    # the reference can only stream whole chunks, SURVEY.md §3.3)
+    stream_queue: Optional[asyncio.Queue] = None
     enqueue_time: float = field(default_factory=time.time)
 
 
@@ -99,15 +104,23 @@ class DecodeEngine:
 
     # ------------------------------------------------------------- public
     async def generate(
-        self, embeds: np.ndarray, options: SamplingOptions | None = None
+        self,
+        embeds: np.ndarray,
+        options: SamplingOptions | None = None,
+        stream_queue: Optional[asyncio.Queue] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Submit prompt embeddings [T, D]; resolves to (tokens, latents)."""
+        """Submit prompt embeddings [T, D]; resolves to (tokens, latents).
+        With `stream_queue`, (latents_row, n) snapshots are pushed after every
+        decode block until completion (then the future resolves as usual)."""
         if self._closed:
             raise RuntimeError("DecodeEngine is shut down")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         self._queue.append(
-            _Pending(np.asarray(embeds), int(embeds.shape[0]), options or SamplingOptions(), fut)
+            _Pending(
+                np.asarray(embeds), int(embeds.shape[0]),
+                options or SamplingOptions(), fut, stream_queue,
+            )
         )
         self._ensure_runner()
         self._wake.set()
@@ -155,6 +168,23 @@ class DecodeEngine:
 
     LEN_BUCKETS = (256, 512, 768, 1024)
 
+    # adaptive block size: while any streaming slot is younger than
+    # STREAM_YOUNG_STEPS, run short blocks so its first latents surface
+    # quickly (time-to-first-audio); otherwise long blocks amortize the
+    # per-dispatch host/tunnel overhead
+    STREAM_BLOCK_STEPS = 8
+    STREAM_YOUNG_STEPS = 64
+
+    def _block_steps(self) -> int:
+        for slot, pending in self._slot_owner.items():
+            if pending.stream_queue is not None:
+                meta = self._slot_meta.get(slot)
+                if meta is not None and (
+                    self._steps_total - meta["steps_at_insert"]
+                ) < self.STREAM_YOUNG_STEPS:
+                    return min(self.STREAM_BLOCK_STEPS, self.steps_per_sync)
+        return self.steps_per_sync
+
     def _len_bucket(self) -> int | None:
         """Static attention-read bound: smallest bucket safely above every
         owned slot's possible length after this block."""
@@ -193,6 +223,29 @@ class DecodeEngine:
             "prompt_len": pending.length,
             "steps_at_insert": self._steps_total,
         }
+
+    def _push_stream_snapshots(self, done: np.ndarray, n_generated: np.ndarray) -> None:
+        """Give every still-running streaming slot a fresh (latents_row, n)
+        view. The gather makes an independent device buffer; n comes from the
+        (one-block-lagged) status, so it never overstates what the row holds."""
+        for slot, pending in self._slot_owner.items():
+            if pending.stream_queue is None or done[slot]:
+                continue  # finished slots resolve via the future with exact n
+            n = int(n_generated[slot])
+            if n <= 0:
+                continue
+            row = harvest_latents_device(self.state, slot)
+            q = pending.stream_queue
+            # mailbox semantics: keep only the newest snapshot, so unconsumed
+            # intermediate rows (2.4 MB device buffers each) never pile up.
+            # Only non-final items are ever dropped: the final snapshot is
+            # pushed after the slot leaves _slot_owner, so nothing follows it.
+            while not q.empty():
+                try:
+                    q.get_nowait()
+                except asyncio.QueueEmpty:
+                    break
+            q.put_nowait((row, n, False))
 
     def _harvest_done(self, done: np.ndarray, n_generated: np.ndarray) -> None:
         """Free finished slots. Only device-side gathers + the slot release
@@ -235,6 +288,9 @@ class DecodeEngine:
                 pending.future.set_result(result)
             except RuntimeError:
                 pass  # future's loop already closed (stale cross-loop request)
+        if pending.stream_queue is not None:
+            # final snapshot: marks completion with the authoritative n
+            pending.stream_queue.put_nowait((latents_row, n, True))
 
     async def _run(self) -> None:
         """Pipelined decode loop: dispatch decode block k+1 before reading
@@ -267,21 +323,23 @@ class DecodeEngine:
 
             if self._slot_owner:
                 t0 = time.perf_counter()
+                n_steps = self._block_steps()
                 self.state, packed = decode_steps_status(
                     self.params, self.cfg, self.state,
-                    n_steps=self.steps_per_sync, len_bound=self._len_bucket(),
+                    n_steps=n_steps, len_bound=self._len_bucket(),
                 )
                 t1 = time.perf_counter()
                 st["blocks"] += 1
                 st["dispatch_s"] += t1 - t0
                 st["occupancy_sum"] += len(self._slot_owner)
-                self._steps_total += self.steps_per_sync
+                self._steps_total += n_steps
                 if pending_status is not None:
                     # overlaps with the block just dispatched
                     _, done, n_gen = unpack_status(
                         np.asarray(await asyncio.to_thread(jax.device_get, pending_status))
                     )
                     st["status_wait_s"] += time.perf_counter() - t1
+                    self._push_stream_snapshots(done, n_gen)
                     if done.any():
                         t2 = time.perf_counter()
                         self._harvest_done(done, n_gen)

@@ -28,7 +28,7 @@ import numpy as np
 
 BASELINE_RTF = 0.02
 CONCURRENCY = 8
-CHUNKS_PER_REQUEST = 8  # each request is a multi-paragraph "book section"
+CHUNKS_PER_REQUEST = 16  # each request is a multi-paragraph "book section"
 N_REQUESTS = 8
 
 
@@ -59,8 +59,8 @@ def build_engine():
         tokenizer=tokenizer,
         dtype=jnp.bfloat16,
         max_concurrency=CONCURRENCY,
-        # ~5 GiB KV at 32 slots; chunk-level parallelism beyond request count
-        decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "32")),
+        # flat-layout KV is ~4.7 GiB at 64 slots; chunk parallelism >> request count
+        decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "64")),
         steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "32")),
     )
     return engine, cfg

@@ -13,21 +13,24 @@ from auralis_tpu.ops.attention import CHUNK, flash_decode_append_attention
 
 
 def _reference(q, k_cache, v_cache, k_new, v_new, layer, write_pos):
-    """Dense softmax over cache[:write_pos] plus the appended (k_new, v_new)."""
+    """Dense softmax over cache[:write_pos] plus the appended (k_new, v_new).
+    Caches/new rows use the flat [.., H*D] layout (see gpt.py KVCache)."""
     s, h, d = q.shape
     t = k_cache.shape[2]
-    k = np.array(k_cache[layer])
+    k = np.array(k_cache[layer])  # [S, T, H*D]
     v = np.array(v_cache[layer])
     for i in range(s):
         k[i, write_pos[i]] = k_new[i]
         v[i, write_pos[i]] = v_new[i]
-    scores = np.einsum("shd,sthd->sht", q, k) / math.sqrt(d)
+    kh = k.reshape(s, t, h, d)
+    vh = v.reshape(s, t, h, d)
+    scores = np.einsum("shd,sthd->sht", q, kh) / math.sqrt(d)
     mask = np.arange(t)[None, :] <= write_pos[:, None]
     scores = np.where(mask[:, None, :], scores, -np.inf)
     scores = scores - scores.max(axis=-1, keepdims=True)
     probs = np.exp(scores)
     probs = probs / probs.sum(axis=-1, keepdims=True)
-    return np.einsum("sht,sthd->shd", probs, v), k, v
+    return np.einsum("sht,sthd->shd", probs, vh), k, v
 
 
 @pytest.mark.parametrize("write_pos", [
@@ -38,10 +41,10 @@ def test_flash_append_matches_dense(write_pos):
     rng = np.random.default_rng(0)
     s, h, d, l, t = 4, 4, 64, 2, 2 * CHUNK
     q = rng.standard_normal((s, h, d)).astype(np.float32)
-    k_new = rng.standard_normal((s, h, d)).astype(np.float32) * 0.3
-    v_new = rng.standard_normal((s, h, d)).astype(np.float32) * 0.3
-    k_cache = rng.standard_normal((l, s, t, h, d)).astype(np.float32) * 0.3
-    v_cache = rng.standard_normal((l, s, t, h, d)).astype(np.float32) * 0.3
+    k_new = rng.standard_normal((s, h * d)).astype(np.float32) * 0.3
+    v_new = rng.standard_normal((s, h * d)).astype(np.float32) * 0.3
+    k_cache = rng.standard_normal((l, s, t, h * d)).astype(np.float32) * 0.3
+    v_cache = rng.standard_normal((l, s, t, h * d)).astype(np.float32) * 0.3
     write_pos = np.asarray(write_pos, np.int32)
 
     for layer in range(l):

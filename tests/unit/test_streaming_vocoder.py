@@ -1,0 +1,93 @@
+"""Intra-chunk streaming vocoder: segment outputs must reproduce the
+full-row vocoder exactly (the segment program interps and masks the same
+padded row and slices with >= receptive-field context; see engine.py
+SEG_PF/PAD_PF). The reference cannot stream inside a chunk at all
+(reference XTTSv2.py:762-816 vocodes only complete chunks).
+"""
+import asyncio
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+from helpers import build_tiny_engine, sine_wav
+
+from auralis_tpu import TTS, TTSRequest
+from auralis_tpu.models.xttsv2.engine import FIRST_SEG_PF, SEG_PF
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return build_tiny_engine(max_concurrency=2)
+
+
+def test_segment_assembly_matches_full_row(engine):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    t_max = engine.gpt_config.max_audio_tokens
+    d = engine.gpt_config.hidden_size
+    n = t_max - 5
+    row_np = rng.standard_normal((t_max, d)).astype(np.float32)
+    row = jnp.asarray(row_np)
+    g = rng.standard_normal((1, 512)).astype(np.float32)
+
+    full = engine.vocode_device_row(row, n, g)
+
+    total_pf = engine._total_pf(n)
+    assert total_pf * 256 == len(full)
+
+    pieces, start = [], 0
+    sizes = [FIRST_SEG_PF, SEG_PF, SEG_PF, SEG_PF]
+    for size in sizes:
+        if start >= total_pf:
+            break
+        emit = min(size, total_pf - start)
+        pieces.append(engine._vocode_segment(row, n, start, emit, g))
+        start += emit
+    assembled = np.concatenate(pieces)
+    assert assembled.shape == full.shape
+    np.testing.assert_allclose(assembled, full, rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_concat_equals_nonstreaming(engine, tmp_path):
+    """End-to-end: greedy decode, streamed segments concatenated must equal
+    the non-streaming waveform."""
+    tts = TTS(scheduler_max_concurrency=2).with_engine(engine)
+    wav_path = sine_wav(tmp_path / "spk.wav")
+
+    def req(stream):
+        return TTSRequest(
+            text="hello world this is a test of speech",
+            speaker_files=[wav_path], language="en",
+            stream=stream, do_sample=False, temperature=1.0,
+        )
+
+    full = tts.generate_speech(req(stream=False))
+    chunks = list(tts.generate_speech(req(stream=True)))
+    assert len(chunks) >= 1
+    streamed = np.concatenate([c.array for c in chunks])
+    assert streamed.shape == full.array.shape
+    np.testing.assert_allclose(streamed, full.array, rtol=1e-4, atol=1e-4)
+
+
+def test_streaming_yields_multiple_segments(engine, tmp_path):
+    """A chunk long enough to cross FIRST_SEG_PF must produce >1 output
+    (i.e. audio starts flowing before the chunk finishes decoding)."""
+    tts = TTS(scheduler_max_concurrency=2).with_engine(engine)
+    wav_path = sine_wav(tmp_path / "spk2.wav")
+    req = TTSRequest(
+        text="one two three four five six seven hello world",
+        speaker_files=[wav_path], language="en", stream=True,
+        do_sample=False, temperature=1.0,
+    )
+    chunks = list(tts.generate_speech(req))
+    # tiny config: 32 tokens -> 139 post-interp frames -> FIRST(64) + rest
+    total_pf = sum(len(c.array) for c in chunks) // 256
+    if total_pf > FIRST_SEG_PF:
+        assert len(chunks) >= 2, (
+            f"expected multiple streamed segments, got {len(chunks)} "
+            f"covering {total_pf} frames"
+        )

@@ -1,0 +1,90 @@
+"""Time-to-first-audio (TTFA) measurement harness — the TPU build's version
+of the reference's tests/integration/stream_ttfb.py. Runs the full-size model
+with random weights on the current backend and prints per-request TTFA plus
+p50/p95 under concurrent streaming load (BASELINE target: p50 < 300 ms at
+concurrency 8).
+
+Usage: python tools/stream_ttfa.py [--concurrency 8] [--requests 16]
+"""
+from __future__ import annotations
+
+import argparse
+import asyncio
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
+    args = ap.parse_args()
+
+    from auralis_tpu import TTS, TTSRequest
+    from auralis_tpu.common import audio_io
+
+    if args.tiny:
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+        from helpers import build_tiny_engine
+
+        engine = build_tiny_engine(max_concurrency=args.concurrency)
+    else:
+        import bench
+
+        bench.CONCURRENCY = args.concurrency
+        engine, _ = bench.build_engine()
+
+    tts = TTS(scheduler_max_concurrency=args.concurrency).with_engine(engine)
+
+    sr = 22050
+    t = np.arange(sr * 6) / sr
+    speaker = (0.5 * np.sin(2 * np.pi * 210 * t)).astype(np.float32)
+    audio_io.write_wav("/tmp/ttfa_speaker.wav", speaker, sr)
+
+    text = (
+        "the quick brown fox jumps over the lazy dog while voice cloning "
+        "speech synthesis runs on tensor processing hardware. "
+    ) * 4
+
+    def req():
+        return TTSRequest(
+            text=text, speaker_files=["/tmp/ttfa_speaker.wav"], language="en",
+            stream=True,
+        )
+
+    async def one(i: int) -> float:
+        t0 = time.perf_counter()
+        agen = await tts.generate_speech_async(req())
+        async for _first in agen:
+            ttfa = time.perf_counter() - t0
+            break
+        async for _rest in agen:  # drain
+            pass
+        return ttfa
+
+    async def run() -> list[float]:
+        # warmup (compiles every program)
+        await asyncio.gather(*(one(i) for i in range(2)))
+        return list(await asyncio.gather(*(one(i) for i in range(args.requests))))
+
+    ttfas = tts.loop.run_until_complete(run())
+    tts.loop.run_until_complete(tts.shutdown())
+
+    ttfas_ms = sorted(x * 1e3 for x in ttfas)
+    p50 = statistics.median(ttfas_ms)
+    p95 = ttfas_ms[min(len(ttfas_ms) - 1, int(0.95 * len(ttfas_ms)))]
+    for i, ms in enumerate(ttfas_ms):
+        print(f"  request {i:3d}: TTFA {ms:8.1f} ms")
+    print(f"p50 TTFA: {p50:.1f} ms   p95 TTFA: {p95:.1f} ms  "
+          f"(target: p50 < 300 ms @ concurrency 8)")
+
+
+if __name__ == "__main__":
+    main()
