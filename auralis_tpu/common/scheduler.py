@@ -49,8 +49,19 @@ class TwoPhaseScheduler:
         second_phase_concurrency: int = 10,
         request_timeout: Optional[float] = None,
         generator_timeout: Optional[float] = None,
+        generator_concurrency: Optional[int] = None,
     ):
         self.second_phase_concurrency = second_phase_concurrency
+        # Chunk generators mostly AWAIT device work that the decode engine
+        # already bounds (slot count) and the vocoder serializes on-device,
+        # so gating them at the request limit (the reference's behavior,
+        # two_phase_scheduler.py:186-201) only delays later requests' first
+        # audio behind earlier requests' full chunks. Default: 4x headroom.
+        self.generator_concurrency = (
+            generator_concurrency
+            if generator_concurrency is not None
+            else 4 * second_phase_concurrency
+        )
         self.request_timeout = request_timeout
         self.generator_timeout = generator_timeout
         self.is_running = False
@@ -62,7 +73,7 @@ class TwoPhaseScheduler:
         if self.is_running:
             return
         self._request_sem = asyncio.Semaphore(self.second_phase_concurrency)
-        self._phase2_sem = asyncio.Semaphore(self.second_phase_concurrency)
+        self._phase2_sem = asyncio.Semaphore(self.generator_concurrency)
         self.is_running = True
 
     async def run(

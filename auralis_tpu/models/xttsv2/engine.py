@@ -62,7 +62,7 @@ LATENT_BUCKETS_STEP = 64
 # full-row program also zero-masks past the true length, segment streaming
 # reproduces the non-streaming waveform EXACTLY.
 SEG_PF = 128  # ~1.37 s of audio per segment
-FIRST_SEG_PF = 64  # emit the first audio sooner (time-to-first-audio)
+FIRST_SEG_PF = 32  # emit the first ~0.34 s as soon as ~13 latents exist (TTFA)
 PAD_PF = 16
 
 

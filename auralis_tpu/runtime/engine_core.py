@@ -344,6 +344,18 @@ class DecodeEngine:
                         t2 = time.perf_counter()
                         self._harvest_done(done, n_gen)
                         st["harvest_s"] += time.perf_counter() - t2
-                pending_status = packed
+                if n_steps < self.steps_per_sync:
+                    # young streaming slots: read THIS block's status too
+                    # (unpipelined) so their first latents surface a block
+                    # earlier — latency beats throughput while young
+                    _, done, n_gen = unpack_status(
+                        np.asarray(await asyncio.to_thread(jax.device_get, packed))
+                    )
+                    self._push_stream_snapshots(done, n_gen)
+                    if done.any():
+                        self._harvest_done(done, n_gen)
+                    pending_status = None
+                else:
+                    pending_status = packed
             # cede the loop so producers/consumers run between syncs
             await asyncio.sleep(0)
