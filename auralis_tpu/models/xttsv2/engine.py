@@ -85,6 +85,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         tensor_parallel_size: int = 1,
         pipeline_parallel_size: int = 1,
         cache_dtype=jnp.bfloat16,
+        vocoder_dtype=jnp.bfloat16,
         seed: int = 0,
         **kwargs,
     ):
@@ -99,6 +100,19 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
         self.params = params  # GPT pytree (incl. text embeddings + heads)
         self.core = core  # conditioning + vocoder pytrees
+        if vocoder_dtype is not None:
+            # the generator computes in its params' dtype (MRF accumulation
+            # stays f32, hifigan.py:87); bf16 matmuls/convs ride the MXU at
+            # full rate — bf16 keeps f32's exponent range, and the final
+            # tanh bounds the output, so waveform error stays ~1e-3 (well
+            # below the 16-bit PCM quantization floor at typical levels)
+            self.core = dict(core)
+            self.core["hifigan"] = jax.tree.map(
+                lambda x: x.astype(vocoder_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                core["hifigan"],
+            )
 
         # Host-side copies of the embedding tables for zero-compile prompt
         # assembly (float32 regardless of device dtype).
