@@ -63,9 +63,15 @@ class TTS:
                 "(hub download is unavailable in this offline build — pass a local dir)"
             ) from e
         factory = get_model_factory(config.get("model_type", "xtts"))
+        n_replicas = kwargs.pop("data_parallel_replicas", 1)
 
         async def _load():
-            return factory(model_name_or_path, max_concurrency=self.concurrency, **kwargs)
+            engine = factory(model_name_or_path, max_concurrency=self.concurrency, **kwargs)
+            if n_replicas and n_replicas > 1:
+                from ..parallel.replica import ReplicatedTTSEngine
+
+                engine = ReplicatedTTSEngine.from_engine(engine, n_replicas=n_replicas)
+            return engine
 
         self.tts_engine = self.loop.run_until_complete(_load())
         return self
