@@ -66,6 +66,109 @@ FIRST_SEG_PF = 32  # emit the first ~0.34 s as soon as ~13 latents exist (TTFA)
 PAD_PF = 16
 
 
+class _VocodeBatcher:
+    """Zero-added-latency micro-batching of vocoder dispatches.
+
+    While one batch is on the device (one program dispatch + one host
+    round-trip), newly finished chunks/segments accumulate and ship together
+    in the next batch — nothing ever waits on a timer. This collapses the
+    per-chunk dispatch overhead (ruinous when the host link is
+    high-latency) and feeds the MXU larger batches (4x640-bucket HiFi-GAN
+    costs ~0.94x of four singles)."""
+
+    MAX_BATCH = 4
+    MAX_INFLIGHT = 3  # batches dispatched before the first fetch resolves
+    # ALWAYS pad to one batch size: each size is its own XLA executable, and
+    # a straggler batch would otherwise compile (slowly, via the remote
+    # tunnel) in the middle of serving; padded lanes replicate item 0 and
+    # are discarded (HiFi-GAN at batch 4 costs ~0.94x of four singles, so
+    # the padding waste is bounded and the latency is flat)
+    _BATCH_SIZES = (4,)
+
+    def __init__(self, engine: "XTTSv2Engine"):
+        self.engine = engine
+        self._pending = {"row": [], "seg": []}
+        self._task: Optional[asyncio.Task] = None
+        self._inflight: Optional[asyncio.Semaphore] = None
+
+    async def submit(self, kind: str, item: tuple) -> np.ndarray:
+        loop = asyncio.get_running_loop()
+        fut: asyncio.Future = loop.create_future()
+        self._pending[kind].append((item, fut))
+        if self._task is None or self._task.done():
+            self._inflight = asyncio.Semaphore(self.MAX_INFLIGHT)
+            self._task = loop.create_task(self._drain())
+        return await fut
+
+    async def _drain(self) -> None:
+        # pipelined: up to MAX_INFLIGHT batches run concurrently (the device
+        # serializes their compute; their host fetches overlap), so a slow
+        # result transfer never stalls the next batch's dispatch
+        loop = asyncio.get_running_loop()
+        flights: list[asyncio.Task] = []
+        while any(self._pending.values()) or flights:
+            flights = [t for t in flights if not t.done()]
+            if not any(self._pending.values()):
+                if flights:
+                    await asyncio.wait(flights, return_when=asyncio.FIRST_COMPLETED)
+                continue
+            await self._inflight.acquire()
+            # segments first: they gate time-to-first-audio
+            kind = "seg" if self._pending["seg"] else "row"
+            batch = self._pending[kind][: self.MAX_BATCH]
+            del self._pending[kind][: len(batch)]
+            flights.append(loop.create_task(self._fly(kind, batch)))
+
+    async def _fly(self, kind: str, batch: list) -> None:
+        items = [it for it, _ in batch]
+        try:
+            outs = await asyncio.to_thread(self._run_batch, kind, items)
+        except Exception as e:  # propagate to every waiter
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        finally:
+            self._inflight.release()
+        for (_, fut), out in zip(batch, outs):
+            if not fut.done():
+                fut.set_result(out)
+
+    def _pad(self, seq: list) -> list:
+        for b in self._BATCH_SIZES:
+            if len(seq) <= b:
+                return seq + [seq[-1]] * (b - len(seq))
+        return seq
+
+    def _run_batch(self, kind: str, items: list) -> list:
+        eng = self.engine
+        n_real = len(items)
+        items = self._pad(items)
+        if kind == "row":
+            rows = jnp.stack([it[0] for it in items])
+            ns = jnp.asarray([it[1] for it in items], jnp.int32)
+            gs = jnp.concatenate([jnp.asarray(it[2], jnp.float32) for it in items])
+            wavs = eng._vocode_row_fn()(eng.core["hifigan"], rows, ns, gs)
+            wavs = np.asarray(wavs).astype(np.float32) / 32767.0
+            return [
+                wavs[i, : eng._true_wav_len(items[i][1])] for i in range(n_real)
+            ]
+        # seg: (row, n_mask, emit_start_pf, emit_count_pf, g)
+        rows = jnp.stack([it[0] for it in items])
+        ns = jnp.asarray([it[1] for it in items], jnp.int32)
+        starts = [eng._seg_slice_start(it[2]) for it in items]
+        gs = jnp.concatenate([jnp.asarray(it[4], jnp.float32) for it in items])
+        wavs = eng._vocode_seg_fn()(
+            eng.core["hifigan"], rows, ns, jnp.asarray(starts, jnp.int32), gs
+        )
+        wavs = np.asarray(wavs).astype(np.float32) / 32767.0
+        outs = []
+        for i in range(n_real):
+            offset = items[i][2] - starts[i]
+            outs.append(wavs[i, offset * 256 : (offset + items[i][3]) * 256])
+        return outs
+
+
 class XTTSv2Engine(BaseAsyncTTSEngine):
     """Asynchronous XTTSv2 engine on the JAX decode loop."""
 
@@ -138,6 +241,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._cond_jits: dict[int, Any] = {}
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
+        self._vocode_batcher = _VocodeBatcher(self)
 
         self.get_memory_usage_curve()
 
@@ -458,10 +562,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
 
     def _vocode_row_fn(self):
-        """Jitted vocoder over a device-resident latent row [T_audio, D]
-        (straight out of the decode loop's latents_buf — zero host round-trip
-        for the [T, D] floats). Positions >= n hold stale slot data and are
-        masked in-graph; the row is padded to the single vocoder bucket."""
+        """Jitted vocoder over a BATCH of device-resident latent rows
+        [B, T_audio, D] (straight out of the decode loop's latents_buf —
+        zero host round-trip for the floats). Positions >= n[b] hold stale
+        slot data and are masked in-graph; rows pad to the vocoder bucket."""
         if "row" not in self._vocoder_jits:
             cfg = self.hifi_config
             t_max = self.gpt_config.max_audio_tokens
@@ -470,17 +574,23 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             )
 
             @jax.jit
-            def run(hp, row, n, g):
-                row = jnp.where(jnp.arange(t_max)[:, None] < n, row, 0.0)
-                padded = jnp.zeros((1, bucket, row.shape[-1]), jnp.float32)
-                padded = padded.at[0, :t_max].set(row.astype(jnp.float32))
-                return hifi_decoder(
-                    hp, padded, g,
+            def run(hp, rows, ns, gs):
+                rows = jnp.where(
+                    jnp.arange(t_max)[None, :, None] < ns[:, None, None], rows, 0.0
+                )
+                b = rows.shape[0]
+                padded = jnp.zeros((b, bucket, rows.shape[-1]), jnp.float32)
+                padded = padded.at[:, :t_max].set(rows.astype(jnp.float32))
+                wav = hifi_decoder(
+                    hp, padded, gs,
                     ar_mel_length_compression=cfg.gpt_code_stride_len,
                     output_hop_length=cfg.output_hop_length,
                     input_sample_rate=cfg.input_sample_rate,
                     output_sample_rate=cfg.output_sample_rate,
                 )
+                # ship int16 to the host: 4x fewer bytes on the wire, and the
+                # serving formats are 16-bit PCM anyway (tanh bounds |wav|<=1)
+                return jnp.round(wav * 32767.0).astype(jnp.int16)
 
             self._vocoder_jits["row"] = run
         return self._vocoder_jits["row"]
@@ -491,10 +601,11 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         """Vocode a device-resident latent row (see DecodeEngine
         device_latents); only the waveform crosses back to the host."""
         wav = self._vocode_row_fn()(
-            self.core["hifigan"], latents_row, jnp.int32(n),
+            self.core["hifigan"], latents_row[None], jnp.asarray([n], jnp.int32),
             jnp.asarray(speaker_embedding),
         )
-        return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
+        wav = np.asarray(wav[0]).astype(np.float32) / 32767.0
+        return wav[: self._true_wav_len(n)]
 
     # ------------------------------------------------- streaming vocoder
     def _total_pf(self, n_latents: int) -> int:
@@ -528,10 +639,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             slice_len = PAD_PF + SEG_PF + PAD_PF
 
             @jax.jit
-            def run(hp, row, n, slice_start, g):
-                row = jnp.where(jnp.arange(t_max)[:, None] < n, row, 0.0)
-                padded = jnp.zeros((1, bucket, row.shape[-1]), jnp.float32)
-                padded = padded.at[0, :t_max].set(row.astype(jnp.float32))
+            def run(hp, rows, ns, slice_starts, gs):
+                rows = jnp.where(
+                    jnp.arange(t_max)[None, :, None] < ns[:, None, None], rows, 0.0
+                )
+                b = rows.shape[0]
+                padded = jnp.zeros((b, bucket, rows.shape[-1]), jnp.float32)
+                padded = padded.at[:, :t_max].set(rows.astype(jnp.float32))
                 z = jnp.swapaxes(padded, 1, 2)
                 z = interp_linear_scale(
                     z, cfg.gpt_code_stride_len / cfg.output_hop_length
@@ -540,13 +654,24 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     z = interp_linear_scale(
                         z, cfg.output_sample_rate / cfg.input_sample_rate
                     )
-                zs = lax.dynamic_slice(
-                    z, (0, 0, slice_start), (1, z.shape[1], slice_len)
-                )
-                return hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), g)
+
+                def one(zb, start):
+                    return lax.dynamic_slice(
+                        zb, (0, start), (zb.shape[0], slice_len)
+                    )
+
+                zs = jax.vmap(one)(z, slice_starts)  # [B, D, slice_len]
+                wav = hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), gs)
+                return jnp.round(wav * 32767.0).astype(jnp.int16)
 
             self._vocoder_jits["seg"] = run
         return self._vocoder_jits["seg"]
+
+    def _seg_slice_start(self, emit_start_pf: int) -> int:
+        slice_len = PAD_PF + SEG_PF + PAD_PF
+        return min(
+            max(emit_start_pf - PAD_PF, 0), max(self._bucket_pf - slice_len, 0)
+        )
 
     def _vocode_segment(
         self,
@@ -558,16 +683,15 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
     ) -> np.ndarray:
         """Emit post-interp frames [emit_start, emit_start + emit_count) as
         256 samples each, identical to the full-row vocoder's output."""
-        slice_len = PAD_PF + SEG_PF + PAD_PF
-        slice_start = min(
-            max(emit_start_pf - PAD_PF, 0), max(self._bucket_pf - slice_len, 0)
-        )
+        slice_start = self._seg_slice_start(emit_start_pf)
         offset = emit_start_pf - slice_start
         wav = self._vocode_seg_fn()(
-            self.core["hifigan"], latents_row, jnp.int32(n_mask),
-            jnp.int32(slice_start), jnp.asarray(speaker_embedding),
+            self.core["hifigan"], latents_row[None],
+            jnp.asarray([n_mask], jnp.int32),
+            jnp.asarray([slice_start], jnp.int32),
+            jnp.asarray(speaker_embedding),
         )
-        out = np.asarray(wav[0], np.float32)
+        out = np.asarray(wav[0]).astype(np.float32) / 32767.0
         return out[offset * 256 : (offset + emit_count_pf) * 256]
 
     async def process_tokens_to_speech(
@@ -592,8 +716,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             if n == 0:
                 return
             with span("phase2.vocode"):
-                wav = await asyncio.to_thread(
-                    self.vocode_device_row, latents, n, speaker_embeddings
+                wav = await self._vocode_batcher.submit(
+                    "row", (latents, n, speaker_embeddings)
                 )
             yield TTSOutput(
                 array=wav, sample_rate=sr,
@@ -619,9 +743,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             while (high - emitted_pf >= threshold) or (final and high > emitted_pf):
                 emit = min(SEG_PF, high - emitted_pf)
                 with span("phase2.vocode_segment"):
-                    wav = await asyncio.to_thread(
-                        self._vocode_segment, row, n, emitted_pf, emit,
-                        speaker_embeddings,
+                    wav = await self._vocode_batcher.submit(
+                        "seg", (row, n, emitted_pf, emit, speaker_embeddings)
                     )
                 emitted_pf += emit
                 threshold = SEG_PF

@@ -266,18 +266,24 @@ def gpt_decode_step(
             # against its 0/1 transpose — same trick as the Pallas kernel.
             k_all = ck[layer, :, :bound]  # [S, bound, HD] — no relayout
             v_all = cv[layer, :, :bound]
-            qmat = q.astype(jnp.float32)[:, :, None] * head_onehot[None]  # [S, HD, H]
-            scores = (
-                jnp.einsum("stc,sch->sht", k_all.astype(jnp.float32), qmat,
-                           preferred_element_type=jnp.float32)
-                * scale
+            # keep cache operands in their storage dtype (bf16) and let the
+            # MXU accumulate in f32 — an .astype(f32) here would halve the
+            # matmul rate AND materialize a 2x-sized copy of every read
+            qmat = (q.astype(jnp.float32) * scale)[:, :, None] * head_onehot[None]
+            scores = jnp.einsum(
+                "stc,sch->sht", k_all, qmat.astype(k_all.dtype),
+                preferred_element_type=jnp.float32,
             )
             scores = jnp.where(att_mask[:, None, :], scores, neg)
             probs = jax.nn.softmax(scores, axis=-1)
             p_lanes = jnp.einsum(
-                "sht,hc->stc", probs, head_onehot.T, preferred_element_type=jnp.float32
-            )  # [S, bound, HD]
-            ctx = jnp.sum(p_lanes * v_all.astype(jnp.float32), axis=1)  # [S, HD]
+                "sht,hc->stc", probs.astype(v_all.dtype),
+                head_onehot.T.astype(v_all.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(v_all.dtype)  # [S, bound, HD]
+            ctx = jnp.sum(
+                (p_lanes * v_all).astype(jnp.float32), axis=1
+            )  # [S, HD] — f32 accumulation of bf16 products
         ctx = ctx.reshape(s, d).astype(x.dtype)
         x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])

@@ -240,6 +240,17 @@ def release_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
     )
 
 
+@partial(jax.jit, donate_argnames=("state",))
+def release_slots(state: DecodeState, mask: jax.Array) -> DecodeState:
+    """Free every slot where mask[s] is True (one dispatch per decode block
+    instead of one per finished chunk)."""
+    return state._replace(
+        active=state.active & ~mask,
+        done=state.done & ~mask,
+        n_generated=jnp.where(mask, 0, state.n_generated),
+    )
+
+
 def status(state: DecodeState) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Small host transfer: (active, done, n_generated)."""
     active, done, n_gen = jax.device_get((state.active, state.done, state.n_generated))

@@ -31,7 +31,7 @@ from .decode_loop import (
     init_decode_state,
     insert_sequence,
     prefill_bucket,
-    release_slot,
+    release_slots,
     unpack_status,
 )
 
@@ -161,6 +161,21 @@ class DecodeEngine:
             self._loop = loop
         if self._runner is None or self._runner.done():
             self._runner = loop.create_task(self._run())
+            self._runner.add_done_callback(self._on_runner_done)
+
+    def _on_runner_done(self, task: asyncio.Task) -> None:
+        if task.cancelled():
+            return
+        exc = task.exception()
+        if exc is None:
+            return
+        logger.error("decode runner crashed: %r", exc, exc_info=exc)
+        # fail every waiter instead of hanging them
+        for pending in list(self._slot_owner.values()) + list(self._queue):
+            if not pending.future.done():
+                pending.future.set_exception(exc)
+        self._slot_owner.clear()
+        self._queue.clear()
 
     def _free_slots(self) -> list[int]:
         # slot ownership is host-authoritative: a slot is free once harvested
@@ -248,49 +263,64 @@ class DecodeEngine:
             q.put_nowait((row, n, False))
 
     def _harvest_done(self, done: np.ndarray, n_generated: np.ndarray) -> None:
-        """Free finished slots. Only device-side gathers + the slot release
-        happen here (dispatch-only, never blocks); the host fetch of the
-        token row and the future resolution run in a spawned task so the
-        runner can dispatch the next decode block immediately — otherwise
-        the device idles for a tunnel RTT per finished chunk."""
+        """Free finished slots. Only device-side gathers + ONE mask release
+        happen here (dispatch-only, never blocks); token rows for every
+        finished slot this block ship as a single stacked fetch in a spawned
+        task, so the runner dispatches the next decode block immediately and
+        the host pays one round-trip per block instead of one per chunk."""
         loop = asyncio.get_running_loop()
+        slots, owners = [], []
         for slot in np.nonzero(done)[0].tolist():
             pending = self._slot_owner.pop(slot, None)
             self._slot_meta.pop(slot, None)
             if pending is None:
                 continue
-            n = int(n_generated[slot])
-            # gathers make fresh device buffers, independent of the slot
-            tokens_row = self.state.tokens_buf[slot]
-            latents_row = harvest_latents_device(self.state, slot)
-            self.state = release_slot(self.state, jnp.int32(slot))
-            loop.create_task(self._resolve_harvest(pending, tokens_row, latents_row, n))
+            slots.append(slot)
+            owners.append(pending)
+        if not slots:
+            return
+        # the whole token buffer is ~150 KB: fetching it whole costs one
+        # fixed-shape executable + one round-trip, vs a per-K gather that
+        # would recompile for every distinct finished-count. jnp.copy makes
+        # an independent buffer — release_slots below donates the state, so
+        # a bare reference would be use-after-donation.
+        tokens_buf = jnp.copy(self.state.tokens_buf)
+        latents_rows = [harvest_latents_device(self.state, s) for s in slots]
+        mask = np.zeros((self.num_slots,), bool)
+        mask[slots] = True
+        self.state = release_slots(self.state, jnp.asarray(mask))
+        ns = [int(n_generated[s]) for s in slots]
+        loop.create_task(
+            self._resolve_harvest(owners, slots, tokens_buf, latents_rows, ns)
+        )
 
     async def _resolve_harvest(
-        self, pending: _Pending, tokens_row, latents_row, n: int
+        self, owners: list, slots: list, tokens_buf, latents_rows: list, ns: list
     ) -> None:
-        tokens = np.asarray(
-            await asyncio.to_thread(jax.device_get, tokens_row)
-        )[:n]
-        # drop a trailing stop token from the token list; latents keep
-        # the step that predicted it (reference: XTTSv2.py:645,685-687)
-        if len(tokens) and tokens[-1] == self.cfg.stop_audio_token:
-            tokens = tokens[:-1]
-        if self.device_latents:
-            result = (tokens, latents_row, n)
-        else:
-            latents = np.asarray(
-                await asyncio.to_thread(jax.device_get, latents_row)
-            )[:n]
-            result = (tokens, latents)
-        if not pending.future.done():
-            try:
-                pending.future.set_result(result)
-            except RuntimeError:
-                pass  # future's loop already closed (stale cross-loop request)
-        if pending.stream_queue is not None:
-            # final snapshot: marks completion with the authoritative n
-            pending.stream_queue.put_nowait((latents_row, n, True))
+        all_tokens = np.asarray(
+            await asyncio.to_thread(jax.device_get, tokens_buf)
+        )
+        for pending, slot, latents_row, n in zip(owners, slots, latents_rows, ns):
+            tokens = all_tokens[slot, :n]
+            # drop a trailing stop token from the token list; latents keep
+            # the step that predicted it (reference: XTTSv2.py:645,685-687)
+            if len(tokens) and tokens[-1] == self.cfg.stop_audio_token:
+                tokens = tokens[:-1]
+            if self.device_latents:
+                result = (tokens, latents_row, n)
+            else:
+                latents = np.asarray(
+                    await asyncio.to_thread(jax.device_get, latents_row)
+                )[:n]
+                result = (tokens, latents)
+            if not pending.future.done():
+                try:
+                    pending.future.set_result(result)
+                except RuntimeError:
+                    pass  # future's loop already closed (stale cross-loop request)
+            if pending.stream_queue is not None:
+                # final snapshot: marks completion with the authoritative n
+                pending.stream_queue.put_nowait((latents_row, n, True))
 
     async def _run(self) -> None:
         """Pipelined decode loop: dispatch decode block k+1 before reading

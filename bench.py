@@ -61,7 +61,7 @@ def build_engine():
         max_concurrency=CONCURRENCY,
         # flat-layout KV is ~4.7 GiB at 64 slots; chunk parallelism >> request count
         decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "64")),
-        steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "32")),
+        steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "64")),
     )
     return engine, cfg
 
