@@ -242,6 +242,33 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
         self._vocode_batcher = _VocodeBatcher(self)
+        self._packed_resblocks = self._maybe_pack_resblocks()
+
+    def _maybe_pack_resblocks(self):
+        """Pre-pack HiFi-GAN MRF weights for the fused Pallas kernel
+        (ops/mrf.py). TPU + bf16 vocoder only: the kernel's VMEM budget
+        assumes bf16 and CPU runs the XLA conv path."""
+        try:
+            hifigan = self.core["hifigan"]
+            if (
+                jax.default_backend() != "tpu"
+                or hifigan["conv_pre_w"].dtype != jnp.bfloat16
+            ):
+                return None
+            from ...ops.mrf import PackedResblock
+            from .hifigan import RESBLOCK_KERNELS, UPSAMPLE_RATES
+
+            packed = []
+            for i in range(len(UPSAMPLE_RATES)):
+                for j, k in enumerate(RESBLOCK_KERNELS):
+                    p = hifigan["resblocks"][i * len(RESBLOCK_KERNELS) + j]
+                    c = int(p["convs1"][0]["w"].shape[1])
+                    packed.append(PackedResblock(p, k, c, dtype=jnp.bfloat16))
+            logger.info("fused Pallas MRF enabled (%d resblocks packed)", len(packed))
+            return packed
+        except Exception as e:  # pragma: no cover — fall back to XLA convs
+            logger.warning("fused MRF packing failed (%s); using XLA convs", e)
+            return None
 
         self.get_memory_usage_curve()
 
@@ -530,6 +557,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     output_hop_length=cfg.output_hop_length,
                     input_sample_rate=cfg.input_sample_rate,
                     output_sample_rate=cfg.output_sample_rate,
+                    packed_resblocks=self._packed_resblocks,
                 )
 
             self._vocoder_jits[bucket] = jax.jit(run)
@@ -587,6 +615,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     output_hop_length=cfg.output_hop_length,
                     input_sample_rate=cfg.input_sample_rate,
                     output_sample_rate=cfg.output_sample_rate,
+                    packed_resblocks=self._packed_resblocks,
                 )
                 # ship int16 to the host: 4x fewer bytes on the wire, and the
                 # serving formats are 16-bit PCM anyway (tanh bounds |wav|<=1)
@@ -661,7 +690,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     )
 
                 zs = jax.vmap(one)(z, slice_starts)  # [B, D, slice_len]
-                wav = hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), gs)
+                wav = hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), gs,
+                                        packed_resblocks=self._packed_resblocks)
                 return jnp.round(wav * 32767.0).astype(jnp.int16)
 
             self._vocoder_jits["seg"] = run

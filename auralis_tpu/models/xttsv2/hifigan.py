@@ -67,8 +67,13 @@ def _resblock1(p: dict, x: jax.Array, kernel: int) -> jax.Array:
     return x
 
 
-def hifigan_generator(params: dict, x: jax.Array, g: jax.Array) -> jax.Array:
-    """x [B, T, C_in], g [B, d_vector] -> waveform [B, T * prod(rates)]."""
+def hifigan_generator(params: dict, x: jax.Array, g: jax.Array,
+                      packed_resblocks=None) -> jax.Array:
+    """x [B, T, C_in], g [B, d_vector] -> waveform [B, T * prod(rates)].
+
+    `packed_resblocks` (a list of ops.mrf.PackedResblock, prepared host-side
+    from concrete weights) routes the MRF through the fused Pallas kernel;
+    None keeps the XLA conv path (CPU / parity tests)."""
     dtype = params["conv_pre_w"].dtype
     x = x.astype(dtype)
     g = g.astype(dtype)
@@ -83,7 +88,11 @@ def hifigan_generator(params: dict, x: jax.Array, g: jax.Array) -> jax.Array:
         h = h + jnp.einsum("bd,do->bo", g, cond["w"])[:, None, :] + cond["b"]
         acc = None
         for j, rk in enumerate(RESBLOCK_KERNELS):
-            z = _resblock1(params["resblocks"][i * len(RESBLOCK_KERNELS) + j], h, rk)
+            idx = i * len(RESBLOCK_KERNELS) + j
+            if packed_resblocks is not None:
+                z = packed_resblocks[idx](h)
+            else:
+                z = _resblock1(params["resblocks"][idx], h, rk)
             acc = z.astype(jnp.float32) if acc is None else acc + z.astype(jnp.float32)
         h = (acc / len(RESBLOCK_KERNELS)).astype(x.dtype)
     h = jax.nn.leaky_relu(h, 0.01)  # final lrelu uses the torch default slope
@@ -100,6 +109,7 @@ def hifi_decoder(
     output_hop_length: int = 256,
     input_sample_rate: int = 22050,
     output_sample_rate: int = 24000,
+    packed_resblocks=None,
 ) -> jax.Array:
     """Latents -> 24 kHz waveform (reference HifiDecoder.forward,
     hifigan_decoder.py:776-802)."""
@@ -107,7 +117,8 @@ def hifi_decoder(
     z = interp_linear_scale(z, ar_mel_length_compression / output_hop_length)
     if output_sample_rate != input_sample_rate:
         z = interp_linear_scale(z, output_sample_rate / input_sample_rate)
-    return hifigan_generator(params, jnp.swapaxes(z, 1, 2), g)
+    return hifigan_generator(params, jnp.swapaxes(z, 1, 2), g,
+                             packed_resblocks=packed_resblocks)
 
 
 # ----------------------------------------------------------------- init

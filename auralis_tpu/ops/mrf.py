@@ -1,0 +1,247 @@
+"""Pallas TPU fused HiFi-GAN ResBlock1 (the MRF hot loop).
+
+One kernel runs a full resblock — 3 x [lrelu -> dilated conv(k) -> lrelu ->
+conv(k) -> residual add] — over a time tile held in VMEM, so the six conv
+activations never round-trip HBM and every conv becomes ONE MXU matmul
+against im2col'd columns ([T_tile, taps*C] @ [taps*C, C]).
+
+Narrow stages (C = 64/32) fold time into lanes (F = 128/C): x[t, c] becomes
+X[t//F, (t%F)*C + c] and each dilated conv is re-expressed EXACTLY as a
+contiguous-tap conv over folded rows with block-Toeplitz [F*C, F*C] weights
+(`fold_resblock_params`). That keeps every array 128-lane aligned (Mosaic
+rejects narrower) and cuts the MAC waste of lane padding (~5x taps growth vs
+16x lane-pad waste at C=32).
+
+Exactness: the wrapper zero-pads the sequence by HALO on both sides; every
+conv input is re-masked to zero outside the true sequence, reproducing XLA's
+per-conv zero padding; tile-edge garbage never reaches the emitted center
+(HALO >= the chain's receptive field).
+
+Reference math: hifigan_decoder.py:27-97 (ResBlock1); XLA fallback:
+models/xttsv2/hifigan.py:_resblock1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LRELU = 0.1
+DILATIONS = (1, 3, 5)
+
+
+def _lrelu(x):
+    return jnp.where(x > 0, x, LRELU * x)
+
+
+# --------------------------------------------------------------- weight prep
+
+def pack_resblock_weights(p: dict, kernel: int, dtype=None):
+    """Flatten a hifigan resblock param dict into per-iteration matmul
+    weights with centered tap offsets (no folding; for C >= 128).
+
+    Returns (convs, halo): convs = 6-tuple of (offsets, W [|o|*C, C], b [1,C])
+    in chain order (it0 conv1, it0 conv2, it1 conv1, ...)."""
+    cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
+    convs = []
+    for it, (conv1, conv2) in enumerate(zip(p["convs1"], p["convs2"])):
+        k, c, _ = conv1["w"].shape
+        assert k == kernel
+        d = DILATIONS[it]
+        offs1 = tuple((j - (k - 1) // 2) * d for j in range(k))
+        offs2 = tuple(j - (k - 1) // 2 for j in range(k))
+        convs.append((offs1, cast(conv1["w"].reshape(k * c, c)),
+                      cast(conv1["b"].reshape(1, c))))
+        convs.append((offs2, cast(conv2["w"].reshape(k * c, c)),
+                      cast(conv2["b"].reshape(1, c))))
+    halo = _chain_halo([cv[0] for cv in convs])
+    return convs, halo
+
+
+def _fold_one_conv(w: np.ndarray, b: np.ndarray, dilation: int, fold: int):
+    """Re-express conv(k taps, dilation d) over [T, C] as a conv over folded
+    rows [T/F, F*C] with contiguous taps and [F*C, F*C] block weights.
+
+    out[qF+f, co] = sum_j x[qF + f + o_j, ci] w[j, ci, co]
+    with f + o_j = F*delta + f':  W'[delta][f'*C+ci, f*C+co] += w[j, ci, co].
+    """
+    k, c, co = w.shape
+    offs = [(j - (k - 1) // 2) * dilation for j in range(k)]
+    deltas = sorted({(f + o) // fold for f in range(fold) for o in offs})
+    lo, hi = deltas[0], deltas[-1]
+    n_taps = hi - lo + 1
+    fc = fold * c
+    wf = np.zeros((n_taps, fc, fc), np.float32)
+    for j, o in enumerate(offs):
+        for f in range(fold):
+            delta, fp = divmod(f + o, fold)
+            wf[delta - lo, fp * c:(fp + 1) * c, f * c:(f + 1) * c] += np.asarray(
+                w[j], np.float32
+            )
+    offsets = tuple(range(lo, hi + 1))
+    bf = np.tile(np.asarray(b, np.float32).reshape(1, c), (1, fold))
+    return offsets, wf.reshape(n_taps * fc, fc), bf
+
+
+def fold_resblock_params(p: dict, kernel: int, fold: int, dtype=None):
+    """pack_resblock_weights for folded (F = 128/C) narrow stages."""
+    cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    convs = []
+    for it, (conv1, conv2) in enumerate(zip(p["convs1"], p["convs2"])):
+        for conv, d in ((conv1, DILATIONS[it]), (conv2, 1)):
+            offs, wf, bf = _fold_one_conv(
+                np.asarray(conv["w"], np.float32),
+                np.asarray(conv["b"], np.float32), d, fold,
+            )
+            convs.append((offs, cast(wf), cast(bf)))
+    halo = _chain_halo([cv[0] for cv in convs])
+    return convs, halo
+
+
+def _chain_halo(offset_lists) -> int:
+    """Receptive radius of the whole chain, rounded up to 8 rows."""
+    r = sum(max(abs(o[0]), abs(o[-1])) for o in offset_lists)
+    return -(-r // 8) * 8
+
+
+# -------------------------------------------------------------------- kernel
+
+def _make_kernel(conv_shapes, c: int, t_tile: int, halo: int, out_dtype,
+                 t_true: int, fold: int):
+    """conv_shapes: 6-tuple of tap-offset tuples (static)."""
+    lt = t_tile + 2 * halo
+    n_conv = len(conv_shapes)
+
+    def body(x_hbm, *refs):
+        weight_refs = refs[: 2 * n_conv]  # (w, b) per conv
+        out_ref = refs[2 * n_conv]
+        x_buf = refs[2 * n_conv + 1]   # [LT, C]
+        a_ref = refs[2 * n_conv + 2]   # [LT, max_taps*C]
+        sem = refs[2 * n_conv + 3]
+
+        bb = pl.program_id(0)
+        tt = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tt * t_tile, lt)], x_buf, sem
+        )
+        cp.start()
+        cp.wait()
+
+        # per-conv zero outside the true sequence (XLA pads every conv at
+        # the boundary; our padded rows would otherwise carry bias/residual
+        # values). With folding, validity is per (row, lane-group).
+        row = lax.broadcasted_iota(jnp.int32, (lt, c), 0) + (tt * t_tile - halo)
+        if fold > 1:
+            f_of_lane = lax.broadcasted_iota(jnp.int32, (lt, c), 1) // (c // fold)
+            g = row * fold + f_of_lane
+            seq_mask = (g >= 0) & (g < t_true)
+        else:
+            seq_mask = (row >= 0) & (row < t_true)
+
+        def conv(t_buf, offsets, w_ref, b_ref):
+            t_buf = jnp.where(seq_mask, t_buf, 0)
+            for j, off in enumerate(offsets):
+                dst_lo = max(0, -off)
+                src_lo = max(0, off)
+                length = lt - abs(off)
+                if dst_lo > 0:
+                    a_ref[0:dst_lo, j * c:(j + 1) * c] = jnp.zeros(
+                        (dst_lo, c), a_ref.dtype
+                    )
+                a_ref[dst_lo:dst_lo + length, j * c:(j + 1) * c] = t_buf[
+                    src_lo:src_lo + length, :
+                ]
+                if dst_lo + length < lt:
+                    a_ref[dst_lo + length:lt, j * c:(j + 1) * c] = jnp.zeros(
+                        (lt - dst_lo - length, c), a_ref.dtype
+                    )
+            kc = len(offsets) * c
+            y = jnp.dot(
+                a_ref[:, :kc], w_ref[:], preferred_element_type=jnp.float32
+            )
+            return y + b_ref[:].astype(jnp.float32)
+
+        y = x_buf[:].astype(jnp.float32)
+        for it in range(n_conv // 2):
+            o1 = conv_shapes[2 * it]
+            o2 = conv_shapes[2 * it + 1]
+            w1, b1 = weight_refs[4 * it], weight_refs[4 * it + 1]
+            w2, b2 = weight_refs[4 * it + 2], weight_refs[4 * it + 3]
+            t = _lrelu(y).astype(x_buf.dtype)
+            h = conv(t, o1, w1, b1)
+            t2 = _lrelu(h).astype(x_buf.dtype)
+            h2 = conv(t2, o2, w2, b2)
+            y = y + h2
+        out_ref[0] = y[halo:halo + t_tile, :].astype(out_dtype)
+
+    return body
+
+
+def _run_fused(x, convs, halo, t_true, fold, t_tile, interpret):
+    b, t, c = x.shape
+    n_tiles = -(-t // t_tile)
+    t_pad = n_tiles * t_tile
+    xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)))
+    lt = t_tile + 2 * halo
+    max_taps = max(len(cv[0]) for cv in convs)
+
+    weight_arrays, weight_specs = [], []
+    for offs, w, bias in convs:
+        weight_arrays.append(w.astype(x.dtype))
+        weight_arrays.append(bias.astype(x.dtype))
+        weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    body = _make_kernel(
+        tuple(cv[0] for cv in convs), c, t_tile, halo, x.dtype, t_true, fold
+    )
+    out = pl.pallas_call(
+        body,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda bb, tt: (bb, tt, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((lt, c), x.dtype),
+            pltpu.VMEM((lt, max_taps * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, *weight_arrays)
+    return out[:, :t, :]
+
+
+# ------------------------------------------------------------------- public
+
+class PackedResblock:
+    """Host-side packed weights for one resblock at one stage."""
+
+    def __init__(self, p: dict, kernel: int, c: int, dtype=None):
+        self.kernel = kernel
+        self.c = c
+        self.fold = max(1, 128 // c)
+        if self.fold > 1:
+            self.convs, self.halo = fold_resblock_params(
+                p, kernel, self.fold, dtype
+            )
+        else:
+            self.convs, self.halo = pack_resblock_weights(p, kernel, dtype)
+
+    def __call__(self, x: jax.Array, t_tile: int = 512,
+                 interpret: bool = False) -> jax.Array:
+        """x [B, T, C] -> [B, T, C], equal to the XLA _resblock1."""
+        b, t, c = x.shape
+        assert c == self.c
+        if self.fold > 1:
+            f = self.fold
+            t_fold = -(-t // f)
+            xpad = jnp.pad(x, ((0, 0), (0, t_fold * f - t), (0, 0)))
+            xf = xpad.reshape(b, t_fold, f * c)
+            out = _run_fused(xf, self.convs, self.halo, t, f, t_tile, interpret)
+            return out.reshape(b, t_fold * f, c)[:, :t, :]
+        return _run_fused(x, self.convs, self.halo, t, 1, t_tile, interpret)
