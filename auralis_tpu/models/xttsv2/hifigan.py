@@ -82,6 +82,10 @@ def hifigan_generator(params: dict, x: jax.Array, g: jax.Array,
     for i, (rate, kernel) in enumerate(zip(UPSAMPLE_RATES, UPSAMPLE_KERNELS)):
         h = jax.nn.leaky_relu(h, LRELU_SLOPE)
         up = params["ups"][i]
+        # NOTE: a polyphase decomposition of this transposed conv (one dense
+        # [T_in, n*C_in] @ [n*C_in, stride*C_out] matmul instead of the
+        # zero-stuffed lhs-dilated conv) was measured perf-neutral on v5e —
+        # XLA already skips the stuffed zeros — so the simpler form stays.
         h = _conv_transpose1d(h, up["w"], up["b"], stride=rate, kernel=kernel,
                               padding=(kernel - rate) // 2)
         cond = params["conds"][i]
