@@ -5,9 +5,18 @@ FROM python:3.11-slim
 WORKDIR /app
 COPY pyproject.toml README.md ./
 COPY auralis_tpu ./auralis_tpu
+COPY native ./native
+
+# g++/make build the first-party native audio runtime (FLAC codec, resampler)
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+    && make -C native \
+    && apt-get purge -y g++ make && apt-get autoremove -y \
+    && rm -rf /var/lib/apt/lists/*
 
 RUN pip install --no-cache-dir "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     && pip install --no-cache-dir .
+
+ENV AURALIS_NATIVE_LIB=/app/native/libauralis_native.so
 
 EXPOSE 8000
 ENTRYPOINT ["auralis-tpu-openai"]

@@ -11,6 +11,7 @@ every entry point has a numpy fallback so the framework works unbuilt.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 import threading
 from pathlib import Path
@@ -19,7 +20,10 @@ from typing import Optional, Tuple
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
-_LIB_PATH = _NATIVE_DIR / "libauralis_native.so"
+# installed deployments (where the repo layout is gone) point here instead
+_LIB_PATH = Path(
+    os.environ.get("AURALIS_NATIVE_LIB", _NATIVE_DIR / "libauralis_native.so")
+)
 
 _lib_lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

@@ -90,9 +90,17 @@ class _VocodeBatcher:
         self._pending = {"row": [], "seg": []}
         self._task: Optional[asyncio.Task] = None
         self._inflight: Optional[asyncio.Semaphore] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
 
     async def submit(self, kind: str, item: tuple) -> np.ndarray:
         loop = asyncio.get_running_loop()
+        if loop is not self._loop:
+            # the engine outlives individual asyncio.run loops (sync API);
+            # stale drain tasks and closed-loop futures belong to the dead
+            # loop and can never resolve — start fresh on the new one
+            self._pending = {"row": [], "seg": []}
+            self._task = None
+            self._loop = loop
         fut: asyncio.Future = loop.create_future()
         self._pending[kind].append((item, fut))
         if self._task is None or self._task.done():
@@ -125,14 +133,20 @@ class _VocodeBatcher:
             outs = await asyncio.to_thread(self._run_batch, kind, items)
         except Exception as e:  # propagate to every waiter
             for _, fut in batch:
-                if not fut.done():
-                    fut.set_exception(e)
+                try:
+                    if not fut.done():
+                        fut.set_exception(e)
+                except RuntimeError:
+                    pass  # stale closed-loop future
             return
         finally:
             self._inflight.release()
         for (_, fut), out in zip(batch, outs):
-            if not fut.done():
-                fut.set_result(out)
+            try:
+                if not fut.done():
+                    fut.set_result(out)
+            except RuntimeError:
+                pass  # stale closed-loop future
 
     def _pad(self, seq: list) -> list:
         for b in self._BATCH_SIZES:
@@ -762,6 +776,11 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         )
         while True:
             row, n, final = await queue.get()
+            if row is None:
+                # poison sentinel: the decode runner crashed — surface the
+                # exception carried by the future instead of hanging
+                await future
+                return
             if final:
                 high = self._total_pf(n)
             else:

@@ -114,6 +114,12 @@ class ReplicatedTTSEngine(BaseAsyncTTSEngine):
         donor = XTTSv2Engine.from_pretrained(*args, **kwargs)
         return cls.from_engine(donor, n_replicas=n_replicas)
 
+    async def get_audio_conditioning(self, *args, **kwargs):
+        """Voice pre-caching (prepare_for_streaming_generation) runs on
+        replica 0; results are host numpy, usable by any replica (each
+        replica's own conditioning cache fills lazily on first use)."""
+        return await self.engines[0].get_audio_conditioning(*args, **kwargs)
+
     async def get_generation_context(self, request: TTSRequest, **kwargs):
         idx = self._route(request)
         self._inflight[idx] += 1

@@ -52,6 +52,10 @@ class DecodeState(NamedTuple):
 def init_decode_state(
     cfg: XTTSGPTConfig, num_slots: int, rng: jax.Array, dtype=jnp.bfloat16
 ) -> DecodeState:
+    assert cfg.max_audio_tokens < (1 << 14), (
+        f"max_audio_tokens={cfg.max_audio_tokens} overflows the packed "
+        "status word (see pack_status)"
+    )
     s, t, d = num_slots, cfg.max_audio_tokens, cfg.hidden_size
     return DecodeState(
         cache=make_kv_cache(cfg, s, dtype=dtype),
@@ -204,19 +208,20 @@ decode_steps = partial(
 
 
 def pack_status(state: DecodeState) -> jax.Array:
-    """One int32 per slot: n_generated | active<<10 | done<<11 — a single
-    small array so one host fetch (one tunnel RTT) carries all step status."""
+    """One int32 per slot: n_generated | active<<14 | done<<15 — a single
+    small array so one host fetch (one tunnel RTT) carries all step status.
+    init_decode_state asserts max_audio_tokens fits the 14-bit field."""
     return (
         state.n_generated
-        + (state.active.astype(jnp.int32) << 10)
-        + (state.done.astype(jnp.int32) << 11)
+        + (state.active.astype(jnp.int32) << 14)
+        + (state.done.astype(jnp.int32) << 15)
     )
 
 
 def unpack_status(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    n = packed & 0x3FF
-    active = (packed >> 10) & 1
-    done = (packed >> 11) & 1
+    n = packed & 0x3FFF
+    active = (packed >> 14) & 1
+    done = (packed >> 15) & 1
     return active.astype(bool), done.astype(bool), n
 
 

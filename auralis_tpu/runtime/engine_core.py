@@ -170,11 +170,19 @@ class DecodeEngine:
         if exc is None:
             return
         logger.error("decode runner crashed: %r", exc, exc_info=exc)
-        # fail every waiter instead of hanging them
+        # fail every waiter instead of hanging them; streaming consumers wait
+        # on their queue, so they also get a poison sentinel (row=None) that
+        # directs them to the (now-failed) future
         for pending in list(self._slot_owner.values()) + list(self._queue):
-            if not pending.future.done():
-                pending.future.set_exception(exc)
+            try:
+                if not pending.future.done():
+                    pending.future.set_exception(exc)
+            except RuntimeError:
+                pass  # stale future from a closed event loop
+            if pending.stream_queue is not None:
+                pending.stream_queue.put_nowait((None, 0, True))
         self._slot_owner.clear()
+        self._slot_meta.clear()
         self._queue.clear()
 
     def _free_slots(self) -> list[int]:
