@@ -56,6 +56,7 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
     content_type = {
         "wav": "audio/wav",
         "pcm": "audio/pcm",
+        "flac": "audio/flac",
     }.get(body.response_format, "application/octet-stream")
     return web.Response(body=payload, content_type=content_type)
 

@@ -80,6 +80,30 @@ def test_audio_speech_speed_change(app, voice_b64):
     assert resp.status == 200
 
 
+def test_audio_speech_flac(app, voice_b64):
+    import asyncio
+
+    from auralis_tpu.common import native_audio
+
+    if not native_audio.available():
+        import pytest
+
+        pytest.skip("native FLAC codec not built")
+    payload = {
+        "input": "Hello world from the server.",
+        "model": "xttsv2",
+        "voice": [voice_b64],
+        "response_format": "flac",
+        "language": "en",
+    }
+    resp, body = asyncio.run(_request(app, "post", "/v1/audio/speech", json=payload))
+    assert resp.status == 200, body
+    assert resp.content_type == "audio/flac"
+    assert body[:4] == b"fLaC"
+    audio, sr = native_audio.flac_decode(bytes(body))
+    assert sr == 24000 and audio.shape[-1] > 1000
+
+
 def test_audio_speech_invalid_base64(app):
     import asyncio
 
