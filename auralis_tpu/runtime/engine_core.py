@@ -371,7 +371,8 @@ class DecodeEngine:
                 st["dispatch_s"] += t1 - t0
                 st["occupancy_sum"] += len(self._slot_owner)
                 self._steps_total += n_steps
-                if pending_status is not None:
+                young = n_steps < self.steps_per_sync
+                if pending_status is not None and not young:
                     # overlaps with the block just dispatched
                     _, done, n_gen = unpack_status(
                         np.asarray(await asyncio.to_thread(jax.device_get, pending_status))
@@ -382,13 +383,15 @@ class DecodeEngine:
                         t2 = time.perf_counter()
                         self._harvest_done(done, n_gen)
                         st["harvest_s"] += time.perf_counter() - t2
-                if n_steps < self.steps_per_sync:
-                    # young streaming slots: read THIS block's status too
+                if young:
+                    # young streaming slots: read THIS block's status
                     # (unpipelined) so their first latents surface a block
-                    # earlier — latency beats throughput while young
+                    # earlier; it supersedes the lagged status, so that
+                    # fetch is skipped — one round-trip per block, not two
                     _, done, n_gen = unpack_status(
                         np.asarray(await asyncio.to_thread(jax.device_get, packed))
                     )
+                    st["status_wait_s"] += time.perf_counter() - t1
                     self._push_stream_snapshots(done, n_gen)
                     if done.any():
                         self._harvest_done(done, n_gen)
