@@ -413,6 +413,25 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self._cond_jits[n_samples] = jax.jit(run)
         return self._cond_jits[n_samples]
 
+    # Reference-audio lengths are truncated DOWN to this grid (seconds) so
+    # the conditioning/speaker-encoder programs compile for a bounded set of
+    # shapes — arbitrary file lengths would otherwise trigger a fresh XLA
+    # compile (tens of seconds) per new voice. Truncation keeps the math on
+    # the kept samples exact; at most quantum seconds of a >=3 s reference
+    # are dropped. Set to 0 to disable (exact reference behavior; dynamic
+    # compile cost applies).
+    ref_length_quantum_s: float = 1.0
+
+    def _quantize_ref_length(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        q = self.ref_length_quantum_s
+        if not q:
+            return audio
+        quantum = max(1, int(sr * q))
+        n = (audio.shape[-1] // quantum) * quantum
+        if n == 0:
+            n = audio.shape[-1]  # sub-quantum clips stay exact
+        return audio[..., :n]
+
     def get_gpt_cond_latents(
         self, audio_22k: np.ndarray, length: int = 30, chunk_length: int = 6
     ) -> np.ndarray:
@@ -476,6 +495,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         speaker_embs, audios = [], []
         for ref in refs:
             audio = audio_io.load_audio(ref, load_sr)[:, : load_sr * max_ref_length]
+            audio = self._quantize_ref_length(audio, load_sr)
             if sound_norm_refs:
                 audio = audio / max(np.abs(audio).max(), 1e-8) * 0.75
             wav16 = resample_np(audio.astype(np.float32), load_sr, 16000)
