@@ -210,6 +210,51 @@ class TTS:
             return streaming_wrapper()
         return self.loop.run_until_complete(self._process_multiple_requests(requests))
 
+    def warmup(self, text: Optional[str] = None) -> None:
+        """Compile every serving program with synthetic inputs.
+
+        All device programs have bounded shape sets (prefill buckets, decode
+        block sizes x length buckets, fixed vocoder batches, 1s-quantized
+        conditioning), so one warmup pass makes serving fully hot; without
+        it the first requests pay multi-second XLA compiles. The reference
+        needs no analogue (eager torch), which is why it has no such API."""
+        import tempfile
+
+        import numpy as np
+
+        from ..common import audio_io
+
+        self._ensure_event_loop()
+        sr = 22050
+        t = np.arange(sr * 6) / sr
+        voice = (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            audio_io.write_wav(f.name, voice, sr)
+            voice_path = f.name
+        # a long text exercises max-length chunks (all KV length buckets);
+        # concurrent copies fill a vocoder batch; one streaming request
+        # compiles the segment vocoder + short-block decode variants
+        text = text or (
+            "the quick brown fox jumps over the lazy dog while speech "
+            "synthesis warms every compiled program on this chip. " * 12
+        )
+
+        async def _run():
+            reqs = [
+                TTSRequest(text=text, speaker_files=[voice_path], language="en")
+                for _ in range(2)
+            ]
+            await asyncio.gather(*(self.generate_speech_async(r) for r in reqs))
+            stream_req = TTSRequest(
+                text=text[:200], speaker_files=[voice_path], language="en",
+                stream=True,
+            )
+            agen = await self.generate_speech_async(stream_req)
+            async for _ in agen:
+                pass
+
+        self.loop.run_until_complete(_run())
+
     async def shutdown(self) -> None:
         if self.scheduler:
             await self.scheduler.shutdown()

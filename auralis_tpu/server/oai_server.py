@@ -177,9 +177,18 @@ def main(argv: Optional[list] = None) -> None:
         "--vllm_logging_level", type=lambda s: getattr(logging, s.upper()),
         default=logging.WARNING, help="backend logging level",
     )
+    parser.add_argument(
+        "--warmup", action="store_true",
+        help="precompile every serving program before accepting traffic "
+             "(one-time boot cost; first requests are otherwise slow)",
+    )
     args = parser.parse_args(argv)
 
     tts = start_tts_engine(args)
+    if args.warmup:
+        logger.info("Warming up (compiling all serving programs)…")
+        tts.warmup()
+        logger.info("Warmup complete")
     app = build_app(tts)
     logger.info("Serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)
