@@ -7,8 +7,9 @@ COPY pyproject.toml README.md ./
 COPY auralis_tpu ./auralis_tpu
 COPY native ./native
 
-# g++/make build the first-party native audio runtime (FLAC codec, resampler)
-RUN apt-get update && apt-get install -y --no-install-recommends g++ make \
+# g++/make build the first-party native audio runtime (FLAC codec, resampler);
+# ffmpeg stays in the image to enable mp3/opus/aac response formats
+RUN apt-get update && apt-get install -y --no-install-recommends g++ make ffmpeg \
     && make -C native \
     && apt-get purge -y g++ make && apt-get autoremove -y \
     && rm -rf /var/lib/apt/lists/*

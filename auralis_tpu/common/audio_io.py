@@ -6,8 +6,9 @@ mono, resamples with the windowed-sinc resampler and clips to [-1, 1] —
 the behavior the reference gets from torchaudio.load + resample
 (reference: common/utilities.py:74-98 `load_audio`).
 
-Compressed codecs (mp3/opus/aac/flac) have no decoder in this image; they
-raise a clear error listing the supported paths.
+FLAC decodes through the first-party native codec; other compressed
+containers (mp3/ogg/aac/...) decode through an ffmpeg binary when one is
+on PATH and raise a clear error otherwise.
 """
 from __future__ import annotations
 
@@ -155,8 +156,27 @@ def write_wav(
 
 def load_audio(source: AudioSource, sampling_rate: int) -> np.ndarray:
     """Load audio -> mono float32 [1, T] at `sampling_rate`, clipped to [-1,1]
-    (reference behavior: common/utilities.py:74-98)."""
-    audio, sr = read_wav(source)
+    (reference behavior: common/utilities.py:74-98). WAV and FLAC decode
+    first-party; other containers (mp3/ogg/aac/...) go through ffmpeg when
+    a binary is available."""
+    data = _open(source)
+    if data[:4] == b"fLaC":
+        from . import native_audio
+
+        decoded, sr = native_audio.flac_decode(data)
+        audio = decoded.T if decoded.ndim == 2 else decoded[None]
+    elif data[:4] == b"RIFF":
+        audio, sr = read_wav(data)
+    else:
+        from . import ffmpeg_codec
+
+        if not ffmpeg_codec.available():
+            raise UnsupportedAudioFormat(
+                "Input is not WAV or FLAC and no ffmpeg binary is on PATH "
+                "to decode compressed formats"
+            )
+        mono, sr = ffmpeg_codec.decode(data)
+        audio = mono[None]
     if audio.shape[0] != 1:
         audio = audio.mean(axis=0, keepdims=True)
     if sr != sampling_rate:

@@ -2,9 +2,10 @@
 
 Public surface mirrors the reference (common/definitions/output.py): numpy
 waveform + sample rate, `combine_outputs`, byte/format conversion, save,
-resample, phase-vocoder speed change, playback helpers. Conversions are
-first-party (WAV/PCM natively; compressed codecs raise a clear error because
-the image ships no encoder).
+resample, phase-vocoder speed change, playback helpers. WAV/PCM/FLAC are
+first-party; mp3/opus/aac delegate to an ffmpeg binary when one is on PATH
+(same seam the reference uses via torchaudio) and raise a clear error
+otherwise.
 """
 from __future__ import annotations
 
@@ -95,13 +96,20 @@ class TTSOutput:
                 bits_per_sample=16 if sample_width <= 2 else 24,
             )
         if format in ("mp3", "opus", "aac"):
+            from . import ffmpeg_codec
+
+            if ffmpeg_codec.available():
+                return ffmpeg_codec.encode(
+                    wav, self.sample_rate, format, bitrate_kbps=self.bit_rate
+                )
             raise ValueError(
-                f"No {format} encoder is available in this environment; "
-                "use format='wav', 'flac' or 'pcm'"
+                f"No {format} encoder is available in this environment "
+                "(install ffmpeg to enable it); use format='wav', 'flac' "
+                "or 'pcm'"
             )
         raise ValueError(
             f"Unsupported format: {format}. Supported formats are: wav, flac, "
-            "pcm (mp3/opus/aac need an external encoder)"
+            "pcm, and mp3/opus/aac when ffmpeg is installed"
         )
 
     def save(

@@ -57,6 +57,9 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
         "wav": "audio/wav",
         "pcm": "audio/pcm",
         "flac": "audio/flac",
+        "mp3": "audio/mpeg",
+        "opus": "audio/ogg",
+        "aac": "audio/aac",
     }.get(body.response_format, "application/octet-stream")
     return web.Response(body=payload, content_type=content_type)
 

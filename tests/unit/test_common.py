@@ -67,8 +67,13 @@ def test_output_bytes_and_file(tmp_path):
     assert sr == 24000
     pcm = out.to_bytes("pcm")
     assert len(pcm) == 2 * len(out.array)
+    from auralis_tpu.common import ffmpeg_codec
+
+    if not ffmpeg_codec.available():
+        with pytest.raises(ValueError):
+            out.to_bytes("mp3")
     with pytest.raises(ValueError):
-        out.to_bytes("mp3")
+        out.to_bytes("notacodec")
     path = tmp_path / "o.wav"
     out.save(path)
     again = TTSOutput.from_file(path)
@@ -154,3 +159,51 @@ def test_request_enhancement(tmp_path):
     assert processed != str(wav_path)
     arr, sr = audio_io.read_wav(processed)
     assert sr == 22050
+
+
+# ------------------------------------------------------------- ffmpeg bridge
+def test_ffmpeg_routing_without_binary(monkeypatch):
+    """When no ffmpeg is on PATH, mp3/opus/aac raise with guidance and
+    load_audio rejects compressed inputs with a clear message."""
+    from auralis_tpu.common import ffmpeg_codec
+
+    monkeypatch.setattr(ffmpeg_codec, "ffmpeg_path", lambda: None)
+    out = TTSOutput(array=_sine(sr=24000), sample_rate=24000)
+    for fmt in ("mp3", "opus", "aac"):
+        with pytest.raises(ValueError, match="ffmpeg"):
+            out.to_bytes(fmt)
+    with pytest.raises(audio_io.UnsupportedAudioFormat, match="ffmpeg"):
+        audio_io.load_audio(b"ID3\x04 not really audio" + b"\x00" * 64, 22050)
+
+
+def test_ffmpeg_routing_with_fake_binary(monkeypatch, tmp_path):
+    """to_bytes routes compressed formats through ffmpeg_codec.encode with
+    the waveform, sample rate and configured bit rate."""
+    from auralis_tpu.common import ffmpeg_codec
+
+    calls = {}
+
+    def fake_encode(wav, sample_rate, format, bitrate_kbps=None):
+        calls.update(n=len(wav), sr=sample_rate, fmt=format, kbps=bitrate_kbps)
+        return b"ENCODED"
+
+    monkeypatch.setattr(ffmpeg_codec, "available", lambda: True)
+    monkeypatch.setattr(ffmpeg_codec, "encode", fake_encode)
+    out = TTSOutput(array=_sine(sr=24000), sample_rate=24000, bit_rate=96)
+    assert out.to_bytes("mp3") == b"ENCODED"
+    assert calls == {"n": len(out.array), "sr": 24000, "fmt": "mp3", "kbps": 96}
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("ffmpeg") is None,
+    reason="no ffmpeg binary in this image (deployment image installs one)",
+)
+@pytest.mark.parametrize("fmt", ["mp3", "opus", "aac"])
+def test_ffmpeg_real_roundtrip(fmt):
+    from auralis_tpu.common import ffmpeg_codec
+
+    out = TTSOutput(array=_sine(sr=24000, seconds=0.5), sample_rate=24000)
+    blob = out.to_bytes(fmt)
+    assert len(blob) > 100
+    wav, sr = ffmpeg_codec.decode(blob)
+    assert wav.size > 0 and sr > 0
