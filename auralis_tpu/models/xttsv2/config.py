@@ -79,6 +79,13 @@ class XTTSGPTConfig:
     # the dense masked-XLA path (CPU tests, interpret-mode verification).
     flash_decode: bool = False
 
+    # int8 KV cache with per-(layer, slot, token) scales: halves decode's
+    # KV-read bandwidth (the decode bottleneck — ~1.5x faster steps at the
+    # 1024 length bound, measured tools/bench_decode_variants.py). Scores run
+    # as int8 MXU matmuls (q quantized per slot x head); V scales fold into
+    # the softmax probabilities. Mutually exclusive with flash_decode.
+    kv_int8: bool = False
+
     audio_config: GPTAudioConfig = field(default_factory=GPTAudioConfig)
 
     @property

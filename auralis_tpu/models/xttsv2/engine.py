@@ -203,11 +203,24 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         pipeline_parallel_size: int = 1,
         cache_dtype=jnp.bfloat16,
         vocoder_dtype=jnp.bfloat16,
+        kv_int8: Optional[bool] = None,
         seed: int = 0,
         **kwargs,
     ):
         self.hifi_config = hifi_config
         self.gpt_config = gpt_config
+        if kv_int8 is None and not gpt_config.flash_decode:
+            # serving default on TPU: int8 KV halves decode's KV-read
+            # bandwidth (the decode bottleneck) at 46 dB logit SNR
+            # (tests/unit/test_kv_int8.py); CPU (hermetic tests) stays at
+            # the cache_dtype for exact parity checks
+            kv_int8 = jax.default_backend() == "tpu"
+        if kv_int8 is not None:
+            gpt_config.kv_int8 = kv_int8
+        if gpt_config.kv_int8:
+            assert not gpt_config.flash_decode, (
+                "kv_int8 and flash_decode are mutually exclusive"
+            )
         self.tokenizer = tokenizer
         self.max_concurrency = max_concurrency
         self.tp = tensor_parallel_size

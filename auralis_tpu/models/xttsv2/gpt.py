@@ -38,10 +38,20 @@ class KVCache(NamedTuple):
     cleanly onto the TPU's (8, 128) layout, whereas a trailing [H=16, Dh=64]
     pair pads 64 -> 128 lanes and silently DOUBLES both the cache's HBM
     footprint and every read's bandwidth. Attention reshapes views per use.
+
+    With cfg.kv_int8 the k/v arrays are int8 and `k_scale`/`v_scale` hold
+    per-(layer, slot, token) f32 dequantization scales [L, S, T_max] —
+    a [.., T] last-dim layout so the per-step scale write is the same cheap
+    row scatter as the cache write (a [.., T, H] or head-indexed layout
+    lowers to a catastrophically slow multi-dim scatter; see
+    tools/bench_decode_variants.py). Scale reads are ~0.4% of the int8 KV
+    read, so the full bandwidth halving survives.
     """
 
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None
+    v_scale: jax.Array | None = None
 
     @property
     def num_slots(self) -> int:
@@ -50,6 +60,10 @@ class KVCache(NamedTuple):
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
 
 def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVCache:
@@ -64,7 +78,25 @@ def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVC
         t_pad,
         cfg.num_attention_heads * cfg.head_dim,
     )
+    if cfg.kv_int8:
+        assert not cfg.flash_decode, "kv_int8 and flash_decode are exclusive"
+        scale_shape = shape[:3]
+        return KVCache(
+            jnp.zeros(shape, jnp.int8),
+            jnp.zeros(shape, jnp.int8),
+            jnp.ones(scale_shape, jnp.float32),
+            jnp.ones(scale_shape, jnp.float32),
+        )
     return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 row quantization over the last axis.
+    x [..., D] -> (int8 [..., D], f32 scale [...]) with x ≈ int8 * scale."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.round(xf / s[..., None]).astype(jnp.int8)
+    return q, s
 
 
 # ------------------------------------------------------------------ params
@@ -172,7 +204,7 @@ def gpt_prefill(
     neg = jnp.finfo(jnp.float32).min
 
     def body(layer, carry):
-        x, ck, cv = carry
+        x, cache = carry
         bp = _block_params(params["blocks"], layer)
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
         qkv = _dot(xn, bp["attn_w"], bp["attn_b"])  # [T, 3D]
@@ -191,17 +223,31 @@ def gpt_prefill(
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
         x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
 
-        k_flat = k.reshape(t_pad, d).astype(ck.dtype)
-        v_flat = v.reshape(t_pad, d).astype(cv.dtype)
-        ck = lax.dynamic_update_slice(ck, k_flat[None, None], (layer, slot, 0, 0))
-        cv = lax.dynamic_update_slice(cv, v_flat[None, None], (layer, slot, 0, 0))
-        return x, ck, cv
+        k_flat = k.reshape(t_pad, d)
+        v_flat = v.reshape(t_pad, d)
+        if cfg.kv_int8:
+            k_q, k_s = _quantize_rows(k_flat)
+            v_q, v_s = _quantize_rows(v_flat)
+            cache = KVCache(
+                lax.dynamic_update_slice(cache.k, k_q[None, None], (layer, slot, 0, 0)),
+                lax.dynamic_update_slice(cache.v, v_q[None, None], (layer, slot, 0, 0)),
+                lax.dynamic_update_slice(cache.k_scale, k_s[None, None], (layer, slot, 0)),
+                lax.dynamic_update_slice(cache.v_scale, v_s[None, None], (layer, slot, 0)),
+            )
+        else:
+            cache = KVCache(
+                lax.dynamic_update_slice(
+                    cache.k, k_flat.astype(cache.k.dtype)[None, None], (layer, slot, 0, 0)
+                ),
+                lax.dynamic_update_slice(
+                    cache.v, v_flat.astype(cache.v.dtype)[None, None], (layer, slot, 0, 0)
+                ),
+            )
+        return x, cache
 
-    x, ck, cv = lax.fori_loop(
-        0, cfg.num_hidden_layers, body, (embeds, cache.k, cache.v)
-    )
+    x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
     h_last = x[length - 1]
-    return h_last, KVCache(ck, cv)
+    return h_last, cache
 
 
 # ------------------------------------------------------------- decode step
@@ -234,14 +280,14 @@ def gpt_decode_step(
     )
 
     x = params["wte"][tokens] + params["wpe"][jnp.clip(audio_pos, 0, cfg.audio_position_table - 1)]
-    x = x.astype(cache.k.dtype)
+    x = x.astype(jnp.bfloat16 if cfg.kv_int8 else cache.k.dtype)
 
     key_pos = jnp.arange(bound)
     att_mask = key_pos[None, :] <= seq_lens[:, None]  # include current position
     neg = jnp.finfo(jnp.float32).min
 
     def body(layer, carry):
-        x, ck, cv = carry
+        x, cache = carry
         bp = _block_params(params["blocks"], layer)
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
         qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
@@ -252,12 +298,62 @@ def gpt_decode_step(
             # fused in-kernel append + length-aware flash attention; the
             # caches pass through the kernel aliased (no scatter, no copies)
             ctx, ck, cv = flash_decode_append_attention(
-                q.reshape(s, h_heads, head_dim), k.astype(ck.dtype),
-                v.astype(cv.dtype), ck, cv, layer, seq_lens,
+                q.reshape(s, h_heads, head_dim), k.astype(cache.k.dtype),
+                v.astype(cache.v.dtype), cache.k, cache.v, layer, seq_lens,
+            )
+            cache = KVCache(ck, cv)
+        elif cfg.kv_int8:
+            # int8 storage with per-token scales. Scores run as an int8x
+            # int8 -> int32 MXU matmul so the cache is read directly in its
+            # storage dtype (a mixed-dtype dot would materialize a bf16 copy
+            # of the whole read — dots don't accept fused converts).
+            k_q, k_s = _quantize_rows(k)
+            v_q, v_s = _quantize_rows(v)
+            cache = KVCache(
+                cache.k.at[layer, slot_idx, seq_lens].set(k_q),
+                cache.v.at[layer, slot_idx, seq_lens].set(v_q),
+                # scale arrays are [L, S, T] so this is the same cheap row
+                # scatter as the cache write (head-indexed layouts lower to
+                # a pathologically slow scatter; see bench_decode_variants)
+                cache.k_scale.at[layer, slot_idx, seq_lens].set(k_s),
+                cache.v_scale.at[layer, slot_idx, seq_lens].set(v_s),
+            )
+            k_all = cache.k[layer, :, :bound]  # [S, bound, HD] int8
+            v_all = cache.v[layer, :, :bound]
+            k_sc = cache.k_scale[layer, :, :bound]  # [S, bound]
+            v_sc = cache.v_scale[layer, :, :bound]
+            # quantize q per (slot, head): per-head max keeps the head with
+            # the smallest keys from losing precision to the loudest one
+            q_f = q.astype(jnp.float32).reshape(s, h_heads, head_dim)
+            q_s = jnp.maximum(jnp.max(jnp.abs(q_f), axis=-1, keepdims=True), 1e-8) / 127.0
+            q_i8 = jnp.round(q_f / q_s).astype(jnp.int8).reshape(s, d)
+            qmat = q_i8[:, :, None] * head_onehot.astype(jnp.int8)[None]  # [S, HD, H]
+            scores_i = jnp.einsum(
+                "stc,sch->sht", k_all, qmat, preferred_element_type=jnp.int32
+            )
+            scores = (
+                scores_i.astype(jnp.float32)
+                * k_sc[:, None, :]
+                * (q_s.reshape(s, h_heads, 1) * scale)
+            )
+            scores = jnp.where(att_mask[:, None, :], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1)
+            # fold V's per-token dequant scales into the probabilities, then
+            # the broadcast+reduce below reads the int8 V directly (the
+            # elementwise dequant fuses into the reduction loop)
+            probs = probs * v_sc[:, None, :]
+            p_lanes = jnp.einsum(
+                "sht,hc->stc", probs.astype(jnp.bfloat16),
+                head_onehot.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            ctx = jnp.sum(
+                (p_lanes * v_all.astype(jnp.bfloat16)).astype(jnp.float32), axis=1
             )
         else:
-            ck = ck.at[layer, slot_idx, seq_lens].set(k.astype(ck.dtype))
-            cv = cv.at[layer, slot_idx, seq_lens].set(v.astype(cv.dtype))
+            ck = cache.k.at[layer, slot_idx, seq_lens].set(k.astype(cache.k.dtype))
+            cv = cache.v.at[layer, slot_idx, seq_lens].set(v.astype(cache.v.dtype))
+            cache = KVCache(ck, cv)
             # Attention entirely in the flat [T, H*Dh] lane layout: a
             # reshape to [.., H, Dh=64] would force a 2x-padded relayout
             # copy of the whole cache read (Dh < the 128-lane tile).
@@ -290,17 +386,16 @@ def gpt_decode_step(
         y = _dot(xn, bp["fc_w"], bp["fc_b"])
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
         x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
-        return x, ck, cv
+        return x, cache
 
     if cfg.flash_decode:
         # unroll layers: straight-line pallas calls keep the cache aliasing
         # in-place (a fori-carried cache forces per-call copies)
-        ck, cv = cache.k, cache.v
         for layer in range(cfg.num_hidden_layers):
-            x, ck, cv = body(layer, (x, ck, cv))
-        return x, KVCache(ck, cv)
-    x, ck, cv = lax.fori_loop(0, cfg.num_hidden_layers, body, (x, cache.k, cache.v))
-    return x, KVCache(ck, cv)
+            x, cache = body(layer, (x, cache))
+        return x, cache
+    x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (x, cache))
+    return x, cache
 
 
 # --------------------------------------------------- reference-shape prompt

@@ -82,7 +82,14 @@ def decode_state_specs() -> dict:
     as tp divides the head count."""
     dp, tp = DATA_AXIS, MODEL_AXIS
     return {
-        "cache": {"k": P(None, dp, None, tp), "v": P(None, dp, None, tp)},
+        "cache": {
+            "k": P(None, dp, None, tp),
+            "v": P(None, dp, None, tp),
+            # int8-mode per-token scales [L, S, T]: slot-sharded, replicated
+            # over the model axis (every head shard needs every token scale)
+            "k_scale": P(None, dp, None),
+            "v_scale": P(None, dp, None),
+        },
         "sampling": {
             "temperature": P(dp),
             "top_p": P(dp),
@@ -141,6 +148,14 @@ def shard_decode_state(state, mesh: Mesh):
         cache=KVCache(
             k=put(state.cache.k, specs["cache"]["k"]),
             v=put(state.cache.v, specs["cache"]["v"]),
+            k_scale=(
+                put(state.cache.k_scale, specs["cache"]["k_scale"])
+                if state.cache.k_scale is not None else None
+            ),
+            v_scale=(
+                put(state.cache.v_scale, specs["cache"]["v_scale"])
+                if state.cache.v_scale is not None else None
+            ),
         ),
         sampling=SamplingState(
             **{k: put(getattr(state.sampling, k), specs["sampling"][k])

@@ -225,7 +225,9 @@ class DecodeEngine:
     def _insert(self, pending: _Pending, slot: int) -> None:
         cfg, opts = self.cfg, pending.options
         bucket = prefill_bucket(pending.length, cfg.max_seq_len)
-        dtype = self.state.cache.k.dtype
+        cache_dtype = self.state.cache.k.dtype
+        # int8 caches store quantized K/V; activations stay bf16
+        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
         padded = np.zeros((bucket, cfg.hidden_size), np.float32)
         padded[: pending.length] = pending.embeds
         self.state = insert_sequence(
