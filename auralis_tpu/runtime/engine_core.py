@@ -194,19 +194,27 @@ class DecodeEngine:
     # adaptive block size: while any streaming slot is younger than
     # STREAM_YOUNG_STEPS, run short blocks so its first latents surface
     # quickly (time-to-first-audio); otherwise long blocks amortize the
-    # per-dispatch host/tunnel overhead
+    # per-dispatch host/tunnel overhead. A slot's very FIRST block runs
+    # FIRST_BLOCK_STEPS: insert leaves n=1 and the first segment emit needs
+    # n >= 14 (total_pf(n-2) - PAD_PF >= FIRST_SEG_PF), so 16 steps reach
+    # first audio after ONE block + ONE status round-trip instead of two.
     STREAM_BLOCK_STEPS = 8
+    FIRST_BLOCK_STEPS = 16
     STREAM_YOUNG_STEPS = 64
 
     def _block_steps(self) -> int:
+        steps = None
         for slot, pending in self._slot_owner.items():
             if pending.stream_queue is not None:
                 meta = self._slot_meta.get(slot)
-                if meta is not None and (
-                    self._steps_total - meta["steps_at_insert"]
-                ) < self.STREAM_YOUNG_STEPS:
-                    return min(self.STREAM_BLOCK_STEPS, self.steps_per_sync)
-        return self.steps_per_sync
+                if meta is None:
+                    continue
+                age = self._steps_total - meta["steps_at_insert"]
+                if age == 0:
+                    return min(self.FIRST_BLOCK_STEPS, self.steps_per_sync)
+                if age < self.STREAM_YOUNG_STEPS:
+                    steps = min(self.STREAM_BLOCK_STEPS, self.steps_per_sync)
+        return steps or self.steps_per_sync
 
     def _len_bucket(self) -> int | None:
         """Static attention-read bound: smallest bucket safely above every
