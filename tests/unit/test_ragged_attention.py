@@ -1,0 +1,98 @@
+"""Ragged int8 flash-decode kernel: exact parity vs explicit dequantized
+attention math (interpret mode — the kernel's DMA/append/scale-patch logic
+runs under the Pallas interpreter on CPU).
+
+The kernel is EXPERIMENTAL and off by default: on-chip it loses to the dense
+bucketed XLA int8 path at this model's sequence ceiling (see
+ARCHITECTURE.md "why not ragged") — these tests pin its correctness so the
+negative result stays reproducible.
+"""
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from auralis_tpu.ops.attention import CHUNK, ragged_decode_attention
+
+
+def _quant_rows(x):
+    s = np.maximum(np.abs(x).max(-1), 1e-8) / 127.0
+    return np.round(x / s[..., None]).astype(np.int8), s
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_ragged_kernel_matches_dequantized_reference(seed):
+    rng = np.random.default_rng(seed)
+    L, S, T, H, D = 2, 16, 2 * CHUNK, 4, 32
+    HD = H * D
+    layer = seed % L
+
+    k_f = rng.standard_normal((L, S, T, HD)).astype(np.float32)
+    v_f = rng.standard_normal((L, S, T, HD)).astype(np.float32)
+    ks = np.maximum(np.abs(k_f).max(-1), 1e-8) / 127.0
+    vs = np.maximum(np.abs(v_f).max(-1), 1e-8) / 127.0
+    k_i8 = np.round(k_f / ks[..., None]).astype(np.int8)
+    v_i8 = np.round(v_f / vs[..., None]).astype(np.int8)
+
+    q = rng.standard_normal((S, H, D)).astype(np.float32)
+    k_new = rng.standard_normal((S, HD)).astype(np.float32)
+    v_new = rng.standard_normal((S, HD)).astype(np.float32)
+    # ragged lengths spanning chunk boundaries, incl. the degenerate n=1
+    pos = rng.integers(0, T - 2, size=(S,)).astype(np.int32)
+    pos[0] = 0
+    pos[1] = CHUNK - 1  # append lands exactly at a chunk boundary
+    scale = 1.0 / np.sqrt(D)
+
+    ctx, ko, vo, kso, vso = ragged_decode_attention(
+        jnp.asarray(q), jnp.asarray(k_new), jnp.asarray(v_new), scale,
+        jnp.int32(layer), jnp.asarray(pos),
+        jnp.asarray(k_i8), jnp.asarray(v_i8), jnp.asarray(ks), jnp.asarray(vs),
+        interpret=True,
+    )
+    ctx, ko, vo, kso, vso = map(np.asarray, (ctx, ko, vo, kso, vso))
+
+    kq, ksc = _quant_rows(k_new)
+    vq, vsc = _quant_rows(v_new)
+    qf = q.reshape(S, H, D)
+    qsc = np.maximum(np.abs(qf).max(-1), 1e-8) / 127.0
+    qi = np.round(qf / qsc[..., None]).astype(np.int8)
+
+    for s_ in range(S):
+        n = int(pos[s_]) + 1
+        K = k_i8[layer, s_, :n].astype(np.float32).copy()
+        Ks = ks[layer, s_, :n].copy()
+        V = v_i8[layer, s_, :n].astype(np.float32).copy()
+        Vs = vs[layer, s_, :n].copy()
+        K[n - 1] = kq[s_]
+        Ks[n - 1] = ksc[s_]
+        V[n - 1] = vq[s_]
+        Vs[n - 1] = vsc[s_]
+        Kf = K * Ks[:, None]
+        Vf = V * Vs[:, None]
+        ref = np.zeros(HD, np.float32)
+        for h_ in range(H):
+            qh = qi[s_, h_].astype(np.float32) * qsc[s_, h_]
+            logits = Kf[:, h_ * D:(h_ + 1) * D] @ qh * scale
+            p = np.exp(logits - logits.max())
+            p /= p.sum()
+            ref[h_ * D:(h_ + 1) * D] = p @ Vf[:, h_ * D:(h_ + 1) * D]
+        np.testing.assert_allclose(ctx[s_], ref, atol=1e-4)
+
+        # in-kernel append: quantized rows + scales land at position n-1
+        np.testing.assert_array_equal(ko[layer, s_, n - 1], kq[s_])
+        np.testing.assert_array_equal(vo[layer, s_, n - 1], vq[s_])
+        assert abs(kso[layer, s_, n - 1] - ksc[s_]) < 1e-7
+        assert abs(vso[layer, s_, n - 1] - vsc[s_]) < 1e-7
+        # neighbors inside the RMW window are preserved
+        np.testing.assert_array_equal(ko[layer, s_, : n - 1], k_i8[layer, s_, : n - 1])
+        np.testing.assert_allclose(kso[layer, s_, : n - 1], ks[layer, s_, : n - 1])
+
+    # untouched layers pass through the aliased outputs unchanged
+    other = (layer + 1) % L
+    np.testing.assert_array_equal(ko[other], k_i8[other])
+    np.testing.assert_allclose(vso[other], vs[other])
