@@ -204,6 +204,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         cache_dtype=jnp.bfloat16,
         vocoder_dtype=jnp.bfloat16,
         kv_int8: Optional[bool] = None,
+        slot_bucketing: bool = False,
         seed: int = 0,
         **kwargs,
     ):
@@ -262,6 +263,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             steps_per_sync=steps_per_sync,
             seed=seed,
             device_latents=True,  # vocoder reads latents straight from HBM
+            slot_bucketing=slot_bucketing,
         )
 
         self._vocoder_jits: dict[int, Any] = {}

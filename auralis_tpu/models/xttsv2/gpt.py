@@ -318,10 +318,14 @@ def gpt_decode_step(
                 cache.k_scale.at[layer, slot_idx, seq_lens].set(k_s),
                 cache.v_scale.at[layer, slot_idx, seq_lens].set(v_s),
             )
-            k_all = cache.k[layer, :, :bound]  # [S, bound, HD] int8
-            v_all = cache.v[layer, :, :bound]
-            k_sc = cache.k_scale[layer, :, :bound]  # [S, bound]
-            v_sc = cache.v_scale[layer, :, :bound]
+            # read only the first s slot rows: callers may pass a SLICED
+            # slot view (tokens[:slot_bound]) so tail-of-workload steps with
+            # few live slots skip dead rows entirely (slots cluster low —
+            # the coordinator always inserts into the lowest free slot)
+            k_all = cache.k[layer, :s, :bound]  # [s, bound, HD] int8
+            v_all = cache.v[layer, :s, :bound]
+            k_sc = cache.k_scale[layer, :s, :bound]  # [s, bound]
+            v_sc = cache.v_scale[layer, :s, :bound]
             # quantize q per (slot, head): per-head max keeps the head with
             # the smallest keys from losing precision to the loudest one
             q_f = q.astype(jnp.float32).reshape(s, h_heads, head_dim)
@@ -360,8 +364,8 @@ def gpt_decode_step(
             # Per-head reductions are instead matmuls against a
             # block-diagonal Q ([HD, H]) and per-head broadcasts matmuls
             # against its 0/1 transpose — same trick as the Pallas kernel.
-            k_all = ck[layer, :, :bound]  # [S, bound, HD] — no relayout
-            v_all = cv[layer, :, :bound]
+            k_all = ck[layer, :s, :bound]  # [s, bound, HD] — no relayout
+            v_all = cv[layer, :s, :bound]
             # keep cache operands in their storage dtype (bf16) and let the
             # MXU accumulate in f32 — an .astype(f32) here would halve the
             # matmul rate AND materialize a 2x-sized copy of every read

@@ -174,14 +174,60 @@ def insert_sequence(
     return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, onehot, rng)
 
 
+def _slice_state(state: DecodeState, sb: int) -> DecodeState:
+    """View of the first `sb` slots. The cache is NOT sliced (its rows are
+    position-pinned; gpt_decode_step reads/writes only the first `sb` slot
+    rows based on the sliced token vector's length)."""
+    return DecodeState(
+        cache=state.cache,
+        sampling=SamplingState(*(a[:sb] for a in state.sampling)),
+        seq_lens=state.seq_lens[:sb],
+        audio_pos=state.audio_pos[:sb],
+        last_token=state.last_token[:sb],
+        active=state.active[:sb],
+        done=state.done[:sb],
+        tokens_buf=state.tokens_buf[:sb],
+        latents_buf=state.latents_buf[:sb],
+        n_generated=state.n_generated[:sb],
+        rng=state.rng,
+    )
+
+
+def _merge_state(full: DecodeState, sub: DecodeState) -> DecodeState:
+    """Write a sliced-state result back into the full state (slices start at
+    slot 0, so every merge is a leading dynamic_update_slice — in-place under
+    donation)."""
+
+    def put(f, s):
+        return lax.dynamic_update_slice(f, s, (0,) * f.ndim)
+
+    return DecodeState(
+        cache=sub.cache,
+        sampling=SamplingState(*(put(f, s) for f, s in zip(full.sampling, sub.sampling))),
+        seq_lens=put(full.seq_lens, sub.seq_lens),
+        audio_pos=put(full.audio_pos, sub.audio_pos),
+        last_token=put(full.last_token, sub.last_token),
+        active=put(full.active, sub.active),
+        done=put(full.done, sub.done),
+        tokens_buf=put(full.tokens_buf, sub.tokens_buf),
+        latents_buf=put(full.latents_buf, sub.latents_buf),
+        n_generated=put(full.n_generated, sub.n_generated),
+        rng=sub.rng,
+    )
+
+
 def _decode_steps_impl(
     params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1,
-    len_bound: int | None = None,
+    len_bound: int | None = None, slot_bound: int | None = None,
 ) -> DecodeState:
     """Run `n_steps` decode iterations over all slots (inactive slots are
     masked out of the bookkeeping; their compute is fixed-shape overhead).
     `len_bound` (static) caps the attention read length; the caller must
-    guarantee max(seq_lens) + n_steps < len_bound."""
+    guarantee max(seq_lens) + n_steps < len_bound. `slot_bound` (static)
+    restricts the step to the first `slot_bound` slots — the coordinator
+    always fills the lowest free slot, so when few sequences are live the
+    step skips the dead high slots' KV reads and compute entirely; slots
+    >= slot_bound must not be active."""
 
     def one_step(state: DecodeState) -> DecodeState:
         was_active = state.active
@@ -197,13 +243,24 @@ def _decode_steps_impl(
         )
         return _record_and_advance(cfg, state, latent, tokens, sampling, cache, was_active, rng)
 
+    num_slots = state.seq_lens.shape[0]
+    sliced = slot_bound is not None and slot_bound < num_slots
+    full = state
+    if sliced:
+        state = _slice_state(state, slot_bound)
     if n_steps == 1:
-        return one_step(state)
-    return lax.fori_loop(0, n_steps, lambda _, st: one_step(st), state)
+        state = one_step(state)
+    else:
+        state = lax.fori_loop(0, n_steps, lambda _, st: one_step(st), state)
+    if sliced:
+        state = _merge_state(full, state)
+    return state
 
 
 decode_steps = partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "len_bound"), donate_argnames=("state",)
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "len_bound", "slot_bound"),
+    donate_argnames=("state",),
 )(_decode_steps_impl)
 
 
@@ -225,13 +282,17 @@ def unpack_status(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return active.astype(bool), done.astype(bool), n
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "len_bound"), donate_argnames=("state",))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "len_bound", "slot_bound"),
+    donate_argnames=("state",),
+)
 def decode_steps_status(
     params: dict, cfg: XTTSGPTConfig, state: DecodeState, n_steps: int = 1,
-    len_bound: int | None = None,
+    len_bound: int | None = None, slot_bound: int | None = None,
 ) -> tuple[DecodeState, jax.Array]:
     """decode_steps plus the packed status vector, computed in-graph."""
-    state = _decode_steps_impl(params, cfg, state, n_steps, len_bound)
+    state = _decode_steps_impl(params, cfg, state, n_steps, len_bound, slot_bound)
     return state, pack_status(state)
 
 

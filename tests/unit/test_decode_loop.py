@@ -151,3 +151,47 @@ def test_repetition_penalty_suppresses_seen():
     seen = jnp.asarray([[True, False, True]])
     pen = apply_repetition_penalty(logits, seen, jnp.asarray([2.0]))
     np.testing.assert_allclose(np.asarray(pen[0]), [1.0, 1.0, -2.0])
+
+
+def test_slot_bound_matches_full_width():
+    """decode_steps with slot_bound must produce bit-identical results for
+    the live (low) slots and leave high slots untouched."""
+    import jax
+    import jax.numpy as jnp
+    from auralis_tpu.models.xttsv2.config import tiny_test_config
+    from auralis_tpu.models.xttsv2.gpt import init_gpt_params
+    from auralis_tpu.runtime.decode_loop import (
+        decode_steps, init_decode_state, insert_sequence,
+    )
+
+    cfg = tiny_test_config().gpt
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    embeds = jnp.asarray(
+        0.3 * rng.standard_normal((16, cfg.hidden_size)), jnp.float32
+    )
+
+    def build():
+        st = init_decode_state(cfg, 4, jax.random.PRNGKey(5), dtype=jnp.float32)
+        # one live sequence in slot 0; slots 2-3 stay dead
+        return insert_sequence(
+            params, cfg, st, embeds, jnp.int32(14), jnp.int32(0),
+            jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+            jnp.float32(2.0), jnp.bool_(True),
+        )
+
+    full = decode_steps(params, cfg, build(), n_steps=4, len_bound=32)
+    bounded = decode_steps(
+        params, cfg, build(), n_steps=4, len_bound=32, slot_bound=2
+    )
+    for name in ("last_token", "seq_lens", "n_generated", "active", "done"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, name)), np.asarray(getattr(bounded, name)), name
+        )
+    np.testing.assert_allclose(
+        np.asarray(full.latents_buf[0]), np.asarray(bounded.latents_buf[0]),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.tokens_buf), np.asarray(bounded.tokens_buf)
+    )
