@@ -343,17 +343,21 @@ def gpt_decode_step(
             scores = jnp.where(att_mask[:, None, :], scores, neg)
             probs = jax.nn.softmax(scores, axis=-1)
             # fold V's per-token dequant scales into the probabilities, then
-            # the broadcast+reduce below reads the int8 V directly (the
-            # elementwise dequant fuses into the reduction loop)
-            probs = probs * v_sc[:, None, :]
-            p_lanes = jnp.einsum(
-                "sht,hc->stc", probs.astype(jnp.bfloat16),
-                head_onehot.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-            ctx = jnp.sum(
-                (p_lanes * v_all.astype(jnp.bfloat16)).astype(jnp.float32), axis=1
-            )
+            # quantize the folded probs per (slot, head) row and run the
+            # context reduction as an int8 [H, T] x [T, HD] MXU matmul per
+            # slot: V is read ONCE in its storage dtype and no broadcast
+            # intermediate exists. (The previous broadcast-back formulation
+            # materialized a [S, bound, HD] bf16 tensor per layer — written
+            # and re-read through HBM, it was ~half the step's bandwidth.)
+            pf = probs * v_sc[:, None, :]  # [S, H, T] f32
+            p_s = jnp.maximum(jnp.max(pf, axis=-1, keepdims=True), 1e-20) / 127.0
+            p_i8 = jnp.round(pf / p_s).astype(jnp.int8)
+            ctx_full = jnp.einsum(
+                "sht,stc->shc", p_i8, v_all, preferred_element_type=jnp.int32
+            )  # every head against every lane block; FLOPs are free here
+            ctx_f = ctx_full.astype(jnp.float32) * p_s  # [S, H, HD]
+            # keep each head's own lane block: ctx[s, c] = ctx_f[s, head(c), c]
+            ctx = jnp.sum(ctx_f * head_onehot.T[None], axis=1)
         else:
             ck = cache.k.at[layer, slot_idx, seq_lens].set(k.astype(cache.k.dtype))
             cv = cache.v.at[layer, slot_idx, seq_lens].set(v.astype(cache.v.dtype))
@@ -376,14 +380,16 @@ def gpt_decode_step(
             )
             scores = jnp.where(att_mask[:, None, :], scores, neg)
             probs = jax.nn.softmax(scores, axis=-1)
-            p_lanes = jnp.einsum(
-                "sht,hc->stc", probs.astype(v_all.dtype),
-                head_onehot.T.astype(v_all.dtype),
+            # context as a per-slot [H, T] x [T, HD] matmul against the flat
+            # V read (f32 MXU accumulation), then keep each head's own lane
+            # block — no [S, bound, HD] broadcast intermediate (the previous
+            # broadcast-back formulation wrote + re-read one through HBM
+            # every layer, doubling the attention traffic)
+            ctx_full = jnp.einsum(
+                "sht,stc->shc", probs.astype(v_all.dtype), v_all,
                 preferred_element_type=jnp.float32,
-            ).astype(v_all.dtype)  # [S, bound, HD]
-            ctx = jnp.sum(
-                (p_lanes * v_all).astype(jnp.float32), axis=1
-            )  # [S, HD] — f32 accumulation of bf16 products
+            )  # [S, H, HD]
+            ctx = jnp.sum(ctx_full * head_onehot.T[None], axis=1)
         ctx = ctx.reshape(s, d).astype(x.dtype)
         x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])

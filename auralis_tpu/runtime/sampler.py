@@ -64,9 +64,12 @@ def sample_tokens(
     temp = jnp.maximum(state.temperature, 1e-5)[:, None]
     scaled = logits / temp
 
-    # sort once (descending); V is ~1k so a full sort is cheap
-    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
-    order = jnp.argsort(scaled, axis=-1)[:, ::-1]
+    # ONE multi-operand sort yields both the descending values and the
+    # permutation (sort + argsort would run the expensive TPU sort network
+    # twice over the same keys)
+    iota = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32)[None, :], (s, v))
+    neg_sorted, order = jax.lax.sort((-scaled, iota), dimension=-1, num_keys=1)
+    sorted_logits = -neg_sorted
 
     rank = jnp.arange(v)[None, :]
     # top-k: keep ranks < k (k<=0 disables)

@@ -18,14 +18,23 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _drain(out):
+    """Synchronize by FETCHING a scalar of the result. On the axon remote
+    platform `jax.block_until_ready` can return before execution completes
+    (observed: 64-step decode blocks "finishing" in 0.2 ms); a device_get
+    is the only reliable barrier."""
+    leaf = jax.tree.leaves(out)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def timeit(fn, *args, n=5, warmup=1, **kw):
     for _ in range(warmup):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _drain(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _drain(out)
     return (time.perf_counter() - t0) / n, out
 
 
@@ -67,11 +76,11 @@ def main():
                 jnp.float32(5.0), jnp.bool_(True),
             )
         state = ins(state)  # compile (donated: thread through)
-        jax.block_until_ready(state)
+        _drain(state.seq_lens)
         t0 = time.perf_counter()
         for _ in range(5):
             state = ins(state)
-        jax.block_until_ready(state)
+        _drain(state.seq_lens)
         dt = (time.perf_counter() - t0) / 5
         prefill_ms[b] = dt * 1e3
         print(f"prefill bucket {b}: {dt*1e3:8.2f} ms")
@@ -82,14 +91,21 @@ def main():
         if occ > S:
             continue
         state = init_decode_state(cfg, S, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
-        embeds = jnp.zeros((256, cfg.hidden_size), jnp.bfloat16)
+        embeds = jnp.zeros((128, cfg.hidden_size), jnp.bfloat16)
         for i in range(occ):
             state = insert_sequence(
-                params, cfg, state, embeds, jnp.int32(200), jnp.int32(i),
+                params, cfg, state, embeds, jnp.int32(100), jnp.int32(i),
                 jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
                 jnp.float32(5.0), jnp.bool_(True),
             )
-        for bound in (256, 512, 1024):
+        # ascending bounds with the SAME threaded state keeps the caller
+        # contract max(seq_lens) + n_steps < bound satisfied (seq starts at
+        # 100; compile+timed blocks advance it past each bound in turn)
+        est_len = 100
+        for bound, blocks in ((256, 2), (512, 4), (1024, 6)):
+            if est_len + (blocks + 1) * args.steps + args.steps >= bound:
+                continue  # not enough headroom under the len_bound contract
+            est_len += (blocks + 1) * args.steps
             def step(st):
                 st2, _ = decode_steps_status(
                     params, cfg, st, n_steps=args.steps, len_bound=bound
@@ -97,12 +113,12 @@ def main():
                 return st2
             # donated state: thread it through each timed call
             state = step(state)  # compile
-            jax.block_until_ready(state)
+            _drain(state.seq_lens)
             t0 = time.perf_counter()
-            for _ in range(3):
+            for _ in range(blocks):
                 state = step(state)
-            jax.block_until_ready(state)
-            dt = (time.perf_counter() - t0) / 3
+            _drain(state.seq_lens)
+            dt = (time.perf_counter() - t0) / blocks
             ms_per_step = dt * 1e3 / args.steps
             # audio throughput if all occ slots were live
             rtf = ms_per_step / 1e3 / (occ * sec_per_token)
