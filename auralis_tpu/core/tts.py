@@ -254,6 +254,11 @@ class TTS:
                 pass
 
         self.loop.run_until_complete(_run())
+        # the warmup requests only hit the vocoder buckets their chunk
+        # lengths happen to land in; compile the rest explicitly
+        precompile = getattr(self.tts_engine, "precompile_vocoder_buckets", None)
+        if precompile is not None:
+            precompile()
 
     async def shutdown(self) -> None:
         if self.scheduler:

@@ -53,6 +53,13 @@ from ...runtime.engine_core import DecodeEngine, SamplingOptions
 logger = setup_logger("xttsv2")
 
 LATENT_BUCKETS_STEP = 64
+# batched row-vocoder latent buckets: the batcher pads each batch to the
+# smallest bucket >= max true length + 4 (4 latents of margin exceeds the
+# generator's post-interp receptive field, and the interp index map is
+# length-independent, so trimmed outputs stay bit-identical to the full-row
+# program). Typical e-book chunks are ~200-300 latents, so most batches run
+# the 256/384 programs instead of always padding to 640.
+VOCODER_LATENT_BUCKETS = (256, 384, 512, 640)
 
 # Intra-chunk streaming vocode segmentation, in post-interp frames (one
 # post-interp frame = 256 output samples). The HiFi-GAN generator's receptive
@@ -162,7 +169,8 @@ class _VocodeBatcher:
             rows = jnp.stack([it[0] for it in items])
             ns = jnp.asarray([it[1] for it in items], jnp.int32)
             gs = jnp.concatenate([jnp.asarray(it[2], jnp.float32) for it in items])
-            wavs = eng._vocode_row_fn()(eng.core["hifigan"], rows, ns, gs)
+            bucket = eng.row_bucket(max(it[1] for it in items))
+            wavs = eng._vocode_row_fn(bucket)(eng.core["hifigan"], rows, ns, gs)
             wavs = np.asarray(wavs).astype(np.float32) / 32767.0
             return [
                 wavs[i, : eng._true_wav_len(items[i][1])] for i in range(n_real)
@@ -638,26 +646,31 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         )
         return np.asarray(wav[0], np.float32)[: self._true_wav_len(n)]
 
-    def _vocode_row_fn(self):
+    def _vocode_row_fn(self, bucket: int | None = None):
         """Jitted vocoder over a BATCH of device-resident latent rows
         [B, T_audio, D] (straight out of the decode loop's latents_buf —
         zero host round-trip for the floats). Positions >= n[b] hold stale
-        slot data and are masked in-graph; rows pad to the vocoder bucket."""
-        if "row" not in self._vocoder_jits:
+        slot data and are masked in-graph. `bucket` selects the latent
+        length the program runs at (VOCODER_LATENT_BUCKETS): rows are
+        sliced in-graph, so shorter buckets do proportionally less conv
+        work; callers must pick bucket >= max(ns) + 4 for exactness."""
+        t_max = self.gpt_config.max_audio_tokens
+        if bucket is None:
+            bucket = math.ceil(t_max / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP
+        key = ("row", bucket)
+        if key not in self._vocoder_jits:
             cfg = self.hifi_config
-            t_max = self.gpt_config.max_audio_tokens
-            bucket = (
-                math.ceil(t_max / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP
-            )
+            cut = min(bucket, t_max)
 
             @jax.jit
             def run(hp, rows, ns, gs):
+                rows = rows[:, :cut]
                 rows = jnp.where(
-                    jnp.arange(t_max)[None, :, None] < ns[:, None, None], rows, 0.0
+                    jnp.arange(cut)[None, :, None] < ns[:, None, None], rows, 0.0
                 )
                 b = rows.shape[0]
                 padded = jnp.zeros((b, bucket, rows.shape[-1]), jnp.float32)
-                padded = padded.at[:, :t_max].set(rows.astype(jnp.float32))
+                padded = padded.at[:, :cut].set(rows.astype(jnp.float32))
                 wav = hifi_decoder(
                     hp, padded, gs,
                     ar_mel_length_compression=cfg.gpt_code_stride_len,
@@ -670,8 +683,30 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 # serving formats are 16-bit PCM anyway (tanh bounds |wav|<=1)
                 return jnp.round(wav * 32767.0).astype(jnp.int16)
 
-            self._vocoder_jits["row"] = run
-        return self._vocoder_jits["row"]
+            self._vocoder_jits[key] = run
+        return self._vocoder_jits[key]
+
+    def row_bucket(self, max_n: int) -> int:
+        """Smallest row-vocoder bucket that reproduces a max_n-latent row
+        exactly (see _vocode_row_fn)."""
+        need = min(self.gpt_config.max_audio_tokens, max_n + 4)
+        for b in VOCODER_LATENT_BUCKETS:
+            if b >= need:
+                return b
+        return math.ceil(
+            self.gpt_config.max_audio_tokens / LATENT_BUCKETS_STEP
+        ) * LATENT_BUCKETS_STEP
+
+    def precompile_vocoder_buckets(self, batch: int = 4) -> None:
+        """Compile every (bucket, batch) row-vocoder program up front so
+        length-bucketed serving never pays a mid-stream XLA compile."""
+        t_max = self.gpt_config.max_audio_tokens
+        d = self.gpt_config.hidden_size
+        rows = jnp.zeros((batch, t_max, d), jnp.float32)
+        ns = jnp.full((batch,), 1, jnp.int32)
+        gs = jnp.zeros((batch, self.hifi_config.d_vector_dim), jnp.float32)
+        for b in VOCODER_LATENT_BUCKETS:
+            _ = self._vocode_row_fn(b)(self.core["hifigan"], rows, ns, gs)
 
     def vocode_device_row(
         self, latents_row: jax.Array, n: int, speaker_embedding: np.ndarray

@@ -107,6 +107,14 @@ class ReplicatedTTSEngine(BaseAsyncTTSEngine):
     def get_memory_usage_curve(self) -> float:
         return sum(e.get_memory_usage_curve() for e in self.engines)
 
+    def precompile_vocoder_buckets(self) -> None:
+        """Forward warmup precompiles to every replica (each owns its own
+        device programs)."""
+        for e in self.engines:
+            fn = getattr(e, "precompile_vocoder_buckets", None)
+            if fn is not None:
+                fn()
+
     @classmethod
     def from_pretrained(cls, *args, n_replicas: Optional[int] = None, **kwargs):
         from ..models.xttsv2.engine import XTTSv2Engine

@@ -106,6 +106,7 @@ def main() -> None:
     # warmup: compile every program (prefill bucket, decode, vocoder buckets,
     # conditioning, speaker encoder)
     tts.loop.run_until_complete(run_batch(make_requests(2)))
+    engine.precompile_vocoder_buckets()  # buckets the warmup chunks missed
 
     t0 = time.time()
     outs = tts.loop.run_until_complete(run_batch(make_requests()))

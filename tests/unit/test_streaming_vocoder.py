@@ -91,3 +91,41 @@ def test_streaming_yields_multiple_segments(engine, tmp_path):
             f"expected multiple streamed segments, got {len(chunks)} "
             f"covering {total_pf} frames"
         )
+
+
+def test_bucketed_row_vocode_matches_full_bucket(engine):
+    """The length-bucketed row-vocoder program (rows sliced in-graph to the
+    bucket) must reproduce the full-bucket program's trimmed waveform: the
+    interp index map is length-independent and the slice margin exceeds the
+    generator's receptive field."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    t_max = engine.gpt_config.max_audio_tokens
+    d = engine.gpt_config.hidden_size
+    g = rng.standard_normal((1, 512)).astype(np.float32)
+    gs = jnp.asarray(np.repeat(g, 2, axis=0))
+
+    rows = jnp.asarray(rng.standard_normal((2, t_max, d)).astype(np.float32))
+    ns_np = [t_max // 2 - 4, t_max // 3]
+    ns = jnp.asarray(ns_np, jnp.int32)
+
+    full_fn = engine._vocode_row_fn()  # full bucket (>= t_max)
+    # a genuinely SLICED bucket: smallest multiple of 4 covering max(n)+4
+    small = max(ns_np) + 4
+    small_fn = engine._vocode_row_fn(small)
+
+    full = np.asarray(full_fn(engine.core["hifigan"], rows, ns, gs))
+    part = np.asarray(small_fn(engine.core["hifigan"], rows, ns, gs))
+    for b, n in enumerate(ns_np):
+        L = engine._true_wav_len(n)
+        np.testing.assert_array_equal(part[b, :L], full[b, :L])
+
+
+def test_row_bucket_selection(engine):
+    from auralis_tpu.models.xttsv2.engine import VOCODER_LATENT_BUCKETS
+
+    t_max = engine.gpt_config.max_audio_tokens
+    # tiny config: t_max < smallest bucket -> always the smallest bucket
+    assert engine.row_bucket(1) == VOCODER_LATENT_BUCKETS[0]
+    assert engine.row_bucket(t_max) == VOCODER_LATENT_BUCKETS[0]
