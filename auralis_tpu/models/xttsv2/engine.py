@@ -234,6 +234,23 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self.max_concurrency = max_concurrency
         self.tp = tensor_parallel_size
         self.pp = pipeline_parallel_size
+        # tensor-parallel serving: a (1, tp) mesh shards attention heads +
+        # MLP across chips (reference passes tensor_parallel_size into vLLM,
+        # XTTSv2.py:214; here the mesh + PartitionSpecs in parallel/mesh.py
+        # ARE the distribution layer — GSPMD emits the all-reduces). The
+        # default single-chip serving config keeps mesh=None; on a pod
+        # slice, tp cuts per-step latency for TTFA-sensitive serving while
+        # data_parallel_replicas scales throughput.
+        self.mesh = None
+        if tensor_parallel_size > 1:
+            from ...parallel.mesh import make_mesh
+
+            if gpt_config.num_attention_heads % tensor_parallel_size:
+                raise ValueError(
+                    f"tensor_parallel_size={tensor_parallel_size} must divide "
+                    f"num_attention_heads={gpt_config.num_attention_heads}"
+                )
+            self.mesh = make_mesh(data=1, model=tensor_parallel_size)
         self.mel_bos_token_id = gpt_config.start_audio_token
         self.mel_eos_token_id = gpt_config.stop_audio_token
 
@@ -272,7 +289,14 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             seed=seed,
             device_latents=True,  # vocoder reads latents straight from HBM
             slot_bucketing=slot_bucketing,
+            mesh=self.mesh,
         )
+        if self.mesh is not None:
+            # conditioning + vocoder pytrees replicate onto the mesh so their
+            # jits compose with mesh-sharded decode outputs (latent rows)
+            from ...parallel.mesh import replicate
+
+            self.core = {k: replicate(v, self.mesh) for k, v in self.core.items()}
 
         self._vocoder_jits: dict[int, Any] = {}
         self._cond_jits: dict[int, Any] = {}

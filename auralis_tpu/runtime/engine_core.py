@@ -75,7 +75,19 @@ class DecodeEngine:
         seed: int = 0,
         device_latents: bool = False,
         slot_bucketing: bool = False,
+        mesh=None,
     ):
+        if mesh is not None:
+            # tensor/data-parallel serving: place the GPT pytree and decode
+            # state onto the mesh per parallel/mesh.py specs (qkv/mlp
+            # column+row parallel over 'model', slots + KV lane-as-head
+            # sharding; GSPMD inserts the collectives). Donation preserves
+            # the shardings across steps, so this one-time placement is all
+            # the distribution logic the loop needs.
+            from ..parallel.mesh import shard_gpt_params
+
+            params = shard_gpt_params(params, mesh)
+        self.mesh = mesh
         self.params = params
         self.cfg = cfg
         self.num_slots = num_slots
@@ -97,6 +109,10 @@ class DecodeEngine:
         self.state: DecodeState = init_decode_state(
             cfg, num_slots, jax.random.PRNGKey(seed), dtype=cache_dtype
         )
+        if mesh is not None:
+            from ..parallel.mesh import shard_decode_state
+
+            self.state = shard_decode_state(self.state, mesh)
         self._queue: deque[_Pending] = deque()
         self._slot_owner: dict[int, _Pending] = {}
         self._slot_meta: dict[int, dict] = {}
