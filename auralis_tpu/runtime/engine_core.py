@@ -59,6 +59,10 @@ class _Pending:
     # the reference can only stream whole chunks, SURVEY.md §3.3)
     stream_queue: Optional[asyncio.Queue] = None
     enqueue_time: float = field(default_factory=time.time)
+    # prompt embeddings pre-staged on device at enqueue time (async
+    # transfer): by the time a slot frees, the ~1 MB prompt is already in
+    # HBM and _insert's dispatch doesn't wait on the host link
+    embeds_dev: Optional[jax.Array] = None
 
 
 class DecodeEngine:
@@ -142,10 +146,33 @@ class DecodeEngine:
             raise RuntimeError("DecodeEngine is shut down")
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
+        embeds = np.asarray(embeds)
+        length = int(embeds.shape[0])
+        # pre-stage the padded prompt on device NOW (device_put is async):
+        # the transfer rides under ongoing decode blocks instead of
+        # serializing inside the runner's insert path
+        bucket = prefill_bucket(length, self.cfg.max_seq_len)
+        cache_dtype = self.state.cache.k.dtype
+        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
+        padded = np.zeros((bucket, self.cfg.hidden_size), np.float32)
+        padded[:length] = embeds
+        # bound pre-staged HBM: a burst of queued requests beyond ~4x the
+        # slot count falls back to transfer-at-insert (the queue tail waits
+        # many blocks anyway, so staging buys it nothing)
+        embeds_dev = None
+        if len(self._queue) < 4 * self.num_slots:
+            embeds_dev = jnp.asarray(padded, dtype)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                embeds_dev = jax.device_put(
+                    embeds_dev, NamedSharding(self.mesh, PartitionSpec())
+                )
         self._queue.append(
             _Pending(
-                np.asarray(embeds), int(embeds.shape[0]),
+                embeds, length,
                 options or SamplingOptions(), fut, stream_queue,
+                embeds_dev=embeds_dev,
             )
         )
         self._ensure_runner()
@@ -269,17 +296,21 @@ class DecodeEngine:
 
     def _insert(self, pending: _Pending, slot: int) -> None:
         cfg, opts = self.cfg, pending.options
-        bucket = prefill_bucket(pending.length, cfg.max_seq_len)
-        cache_dtype = self.state.cache.k.dtype
-        # int8 caches store quantized K/V; activations stay bf16
-        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-        padded = np.zeros((bucket, cfg.hidden_size), np.float32)
-        padded[: pending.length] = pending.embeds
+        if pending.embeds_dev is not None:
+            embeds_dev = pending.embeds_dev  # pre-staged at enqueue time
+        else:
+            bucket = prefill_bucket(pending.length, cfg.max_seq_len)
+            cache_dtype = self.state.cache.k.dtype
+            # int8 caches store quantized K/V; activations stay bf16
+            dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
+            padded = np.zeros((bucket, cfg.hidden_size), np.float32)
+            padded[: pending.length] = pending.embeds
+            embeds_dev = jnp.asarray(padded, dtype)
         self.state = insert_sequence(
             self.params,
             cfg,
             self.state,
-            jnp.asarray(padded, dtype),
+            embeds_dev,
             jnp.int32(pending.length),
             jnp.int32(slot),
             jnp.float32(opts.temperature),
