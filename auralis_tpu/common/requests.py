@@ -34,6 +34,29 @@ def validate_language(language: str) -> str:
     return language
 
 
+def hash_params(*args, **kwargs) -> str:
+    """MD5 hash of stringified parameters, for caching keys (reference:
+    common/definitions/requests.py:21-32)."""
+    params_str = json.dumps(
+        [str(a) for a in args] + [f"{k}={v}" for k, v in sorted(kwargs.items())],
+        sort_keys=True,
+    )
+    return hashlib.md5(params_str.encode()).hexdigest()
+
+
+def get_language(text: str) -> str:
+    """Detect the language of `text` (first-party n-gram/script classifier;
+    reference uses langid, common/definitions/requests.py:97-113). zh maps
+    to zh-cn; results are LRU-cached on the text prefix."""
+    key = text[:200]
+
+    def compute():
+        lang = detect_language(text)
+        return "zh-cn" if lang == "zh" else lang
+
+    return _language_cache.get_or(key, compute)
+
+
 class _LRU(OrderedDict):
     def __init__(self, maxsize: int = 128):
         super().__init__()
@@ -51,6 +74,7 @@ class _LRU(OrderedDict):
 
 
 _enhance_cache = _LRU(maxsize=128)
+_language_cache = _LRU(maxsize=256)
 
 
 @dataclass

@@ -207,3 +207,20 @@ def test_ffmpeg_real_roundtrip(fmt):
     assert len(blob) > 100
     wav, sr = ffmpeg_codec.decode(blob)
     assert wav.size > 0 and sr > 0
+
+
+def test_hash_params_stable_and_distinct():
+    from auralis_tpu.common.requests import hash_params
+
+    a = hash_params("x", 1, k=2)
+    assert a == hash_params("x", 1, k=2)
+    assert a != hash_params("x", 2, k=2)
+    assert len(a) == 32  # md5 hex
+
+
+def test_get_language_module_api():
+    from auralis_tpu.common.requests import get_language
+
+    assert get_language("the quick brown fox jumps over the lazy dog") == "en"
+    # zh maps to the serving code zh-cn (reference requests.py:110-112)
+    assert get_language("今天天气很好我们一起去公园散步吧") == "zh-cn"
