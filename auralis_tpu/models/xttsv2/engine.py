@@ -169,8 +169,10 @@ class _VocodeBatcher:
             rows = jnp.stack([it[0] for it in items])
             ns = jnp.asarray([it[1] for it in items], jnp.int32)
             gs = jnp.concatenate([jnp.asarray(it[2], jnp.float32) for it in items])
-            bucket = eng.row_bucket(max(it[1] for it in items))
+            bucket = eng.serving_row_bucket(max(it[1] for it in items))
             wavs = eng._vocode_row_fn(bucket)(eng.core["hifigan"], rows, ns, gs)
+            with eng._row_warm_lock:
+                eng._hot_row_buckets.add(bucket)
             wavs = np.asarray(wavs).astype(np.float32) / 32767.0
             return [
                 wavs[i, : eng._true_wav_len(items[i][1])] for i in range(n_real)
@@ -299,6 +301,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self.core = {k: replicate(v, self.mesh) for k, v in self.core.items()}
 
         self._vocoder_jits: dict[int, Any] = {}
+        # row-vocoder buckets whose programs are known-compiled (serving
+        # uses only hot buckets; cold ones warm in a background thread)
+        self._hot_row_buckets: set[int] = set()
+        self._row_warming: set[int] = set()
+        import threading as _threading
+
+        self._row_warm_lock = _threading.Lock()
         self._cond_jits: dict[int, Any] = {}
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
@@ -721,6 +730,54 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self.gpt_config.max_audio_tokens / LATENT_BUCKETS_STEP
         ) * LATENT_BUCKETS_STEP
 
+    def serving_row_bucket(self, max_n: int) -> int:
+        """row_bucket, but NEVER compiles on the serving path: if the ideal
+        bucket's program isn't hot yet, serve with the smallest already-hot
+        larger bucket (exact for any shorter row) and warm the ideal one in
+        a background thread. Unwarmed servers converge to fully bucketed
+        programs after a few batches with zero mid-request compile stalls;
+        TTS.warmup() skips all of this by precompiling every bucket."""
+        ideal = self.row_bucket(max_n)
+        hot = self._hot_row_buckets
+        if ideal in hot:
+            return ideal
+        self._warm_row_bucket_async(ideal)
+        candidates = [b for b in hot if b >= ideal]
+        if candidates:
+            return min(candidates)
+        # nothing hot that covers this length: pay the one-time compile of
+        # the TOP bucket (valid for every future length) rather than the
+        # ideal one, so this stall can never repeat for a different length
+        top = self.row_bucket(self.gpt_config.max_audio_tokens)
+        return top
+
+    def _warm_row_bucket_async(self, bucket: int) -> None:
+        import threading
+
+        with self._row_warm_lock:
+            if bucket in self._hot_row_buckets or bucket in self._row_warming:
+                return
+            self._row_warming.add(bucket)
+
+        def warm():
+            try:
+                t_max = self.gpt_config.max_audio_tokens
+                d = self.gpt_config.hidden_size
+                rows = jnp.zeros((_VocodeBatcher.MAX_BATCH, t_max, d), jnp.float32)
+                ns = jnp.ones((_VocodeBatcher.MAX_BATCH,), jnp.int32)
+                gs = jnp.zeros(
+                    (_VocodeBatcher.MAX_BATCH, self.hifi_config.d_vector_dim),
+                    jnp.float32,
+                )
+                _ = self._vocode_row_fn(bucket)(self.core["hifigan"], rows, ns, gs)
+                with self._row_warm_lock:
+                    self._hot_row_buckets.add(bucket)
+            finally:
+                with self._row_warm_lock:
+                    self._row_warming.discard(bucket)
+
+        threading.Thread(target=warm, daemon=True, name=f"warm-row-{bucket}").start()
+
     def precompile_vocoder_buckets(self, batch: int = 4) -> None:
         """Compile every (bucket, batch) row-vocoder program up front so
         length-bucketed serving never pays a mid-stream XLA compile."""
@@ -731,6 +788,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         gs = jnp.zeros((batch, self.hifi_config.d_vector_dim), jnp.float32)
         for b in VOCODER_LATENT_BUCKETS:
             _ = self._vocode_row_fn(b)(self.core["hifigan"], rows, ns, gs)
+            with self._row_warm_lock:
+                self._hot_row_buckets.add(b)
 
     def vocode_device_row(
         self, latents_row: jax.Array, n: int, speaker_embedding: np.ndarray

@@ -129,3 +129,46 @@ def test_row_bucket_selection(engine):
     # tiny config: t_max < smallest bucket -> always the smallest bucket
     assert engine.row_bucket(1) == VOCODER_LATENT_BUCKETS[0]
     assert engine.row_bucket(t_max) == VOCODER_LATENT_BUCKETS[0]
+
+
+def test_serving_row_bucket_cold_fallback(engine):
+    """serving_row_bucket must never pick a cold program when a hot larger
+    bucket exists, and must kick a background warm for the ideal bucket."""
+    import time as _time
+
+    from auralis_tpu.models.xttsv2.engine import VOCODER_LATENT_BUCKETS
+
+    ideal = engine.row_bucket(1)  # smallest bucket (tiny t_max < 256)
+    top = engine.row_bucket(engine.gpt_config.max_audio_tokens)
+
+    with engine._row_warm_lock:
+        engine._hot_row_buckets.clear()
+        engine._row_warming.clear()
+    # nothing hot: serving falls back to the TOP bucket (compile-once path)
+    assert engine.serving_row_bucket(1) == top
+
+    # with a hot larger bucket, serving uses it while ideal warms
+    bigger = VOCODER_LATENT_BUCKETS[-1]
+    with engine._row_warm_lock:
+        engine._hot_row_buckets.clear()
+        engine._hot_row_buckets.add(bigger)
+    assert engine.serving_row_bucket(1) == bigger
+
+    # once the ideal bucket is hot it wins outright
+    with engine._row_warm_lock:
+        engine._hot_row_buckets.add(ideal)
+    assert engine.serving_row_bucket(1) == ideal
+
+    # the background warm eventually marks the ideal bucket hot (tiny
+    # config: the compile is fast on CPU)
+    with engine._row_warm_lock:
+        engine._hot_row_buckets.clear()
+    engine.serving_row_bucket(1)
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        with engine._row_warm_lock:
+            if ideal in engine._hot_row_buckets:
+                break
+        _time.sleep(0.25)
+    with engine._row_warm_lock:
+        assert ideal in engine._hot_row_buckets

@@ -72,6 +72,12 @@ def main() -> None:
     async def run() -> list[float]:
         # warmup (compiles every program)
         await asyncio.gather(*(one(i) for i in range(2)))
+        # row-vocoder length buckets the warmup requests didn't hit would
+        # otherwise compile mid-measurement (production covers this via
+        # TTS.warmup -> precompile_vocoder_buckets)
+        precompile = getattr(engine, "precompile_vocoder_buckets", None)
+        if precompile is not None:
+            await asyncio.to_thread(precompile)
         return list(await asyncio.gather(*(one(i) for i in range(args.requests))))
 
     ttfas = tts.loop.run_until_complete(run())
