@@ -59,10 +59,6 @@ class _Pending:
     # the reference can only stream whole chunks, SURVEY.md §3.3)
     stream_queue: Optional[asyncio.Queue] = None
     enqueue_time: float = field(default_factory=time.time)
-    # prompt embeddings pre-staged on device at enqueue time (async
-    # transfer): by the time a slot frees, the ~1 MB prompt is already in
-    # HBM and _insert's dispatch doesn't wait on the host link
-    embeds_dev: Optional[jax.Array] = None
 
 
 class DecodeEngine:
@@ -148,38 +144,17 @@ class DecodeEngine:
         fut: asyncio.Future = loop.create_future()
         embeds = np.asarray(embeds)
         length = int(embeds.shape[0])
-        # pre-stage the padded prompt on device NOW (device_put is async):
-        # the transfer rides under ongoing decode blocks instead of
-        # serializing inside the runner's insert path
-        bucket = prefill_bucket(length, self.cfg.max_seq_len)
-        cache_dtype = self.state.cache.k.dtype
-        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-        padded = np.zeros((bucket, self.cfg.hidden_size), np.float32)
-        padded[:length] = embeds
+        # NOTE (negative result): pre-staging the prompt on device at
+        # enqueue time — on-loop or via executor threads — regressed burst
+        # TTFA 0.47 s -> 2.6 s on the measurement rig: a 16-request burst
+        # pushes ~32 MB of prompt uploads into the host link exactly when
+        # the first young-block status fetch needs it. Transfer-at-insert
+        # self-throttles to one prompt between decode blocks, which is the
+        # right pacing on every link; the throughput benefit of pre-staging
+        # measured zero (the loop, not the transfer, was the bottleneck).
         pending = _Pending(
             embeds, length, options or SamplingOptions(), fut, stream_queue
         )
-        # bound pre-staged HBM: a burst of queued requests beyond ~4x the
-        # slot count falls back to transfer-at-insert (the queue tail waits
-        # many blocks anyway, so staging buys it nothing). The transfer MUST
-        # run off the event loop: on a high-RTT link a burst of N requests
-        # would otherwise serialize N blocking ~1 MB uploads in front of the
-        # runner (measured: +2.4 s first-audio at a 16-request burst).
-        if len(self._queue) < 4 * self.num_slots:
-            def stage(p=pending, arr=padded, dt=dtype):
-                try:
-                    dev = jnp.asarray(arr, dt)
-                    if self.mesh is not None:
-                        from jax.sharding import NamedSharding, PartitionSpec
-
-                        dev = jax.device_put(
-                            dev, NamedSharding(self.mesh, PartitionSpec())
-                        )
-                    p.embeds_dev = dev  # benign race: _insert falls back if unset
-                except Exception:
-                    pass  # _insert's host-path fallback covers staging failures
-
-            loop.run_in_executor(None, stage)
         self._queue.append(pending)
         self._ensure_runner()
         self._wake.set()
@@ -302,16 +277,13 @@ class DecodeEngine:
 
     def _insert(self, pending: _Pending, slot: int) -> None:
         cfg, opts = self.cfg, pending.options
-        if pending.embeds_dev is not None:
-            embeds_dev = pending.embeds_dev  # pre-staged at enqueue time
-        else:
-            bucket = prefill_bucket(pending.length, cfg.max_seq_len)
-            cache_dtype = self.state.cache.k.dtype
-            # int8 caches store quantized K/V; activations stay bf16
-            dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-            padded = np.zeros((bucket, cfg.hidden_size), np.float32)
-            padded[: pending.length] = pending.embeds
-            embeds_dev = jnp.asarray(padded, dtype)
+        bucket = prefill_bucket(pending.length, cfg.max_seq_len)
+        cache_dtype = self.state.cache.k.dtype
+        # int8 caches store quantized K/V; activations stay bf16
+        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
+        padded = np.zeros((bucket, cfg.hidden_size), np.float32)
+        padded[: pending.length] = pending.embeds
+        embeds_dev = jnp.asarray(padded, dtype)
         self.state = insert_sequence(
             self.params,
             cfg,

@@ -23,7 +23,11 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--concurrency", type=int, default=8)
-    ap.add_argument("--requests", type=int, default=16)
+    # default requests == concurrency: TTFA under full load WITHOUT
+    # admission queueing. Oversubscribing (e.g. --requests 16) measures the
+    # scheduler queue too: requests beyond the concurrency limit wait for a
+    # worker (reference semantics), so their "TTFA" includes queue time.
+    ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
     args = ap.parse_args()
 
@@ -70,14 +74,15 @@ def main() -> None:
         return ttfa
 
     async def run() -> list[float]:
-        # warmup (compiles every program)
-        await asyncio.gather(*(one(i) for i in range(2)))
-        # row-vocoder length buckets the warmup requests didn't hit would
+        # row-vocoder length buckets the warmup requests don't hit would
         # otherwise compile mid-measurement (production covers this via
-        # TTS.warmup -> precompile_vocoder_buckets)
+        # TTS.warmup -> precompile_vocoder_buckets); run it FIRST so its
+        # compiles and queued executions fully drain before timing starts
         precompile = getattr(engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             await asyncio.to_thread(precompile)
+        # warmup (compiles every program)
+        await asyncio.gather(*(one(i) for i in range(2)))
         return list(await asyncio.gather(*(one(i) for i in range(args.requests))))
 
     ttfas = tts.loop.run_until_complete(run())
