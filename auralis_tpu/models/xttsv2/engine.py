@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import threading
 import math
 import os
 import uuid
@@ -305,9 +306,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # uses only hot buckets; cold ones warm in a background thread)
         self._hot_row_buckets: set[int] = set()
         self._row_warming: set[int] = set()
-        import threading as _threading
-
-        self._row_warm_lock = _threading.Lock()
+        self._row_warm_lock = threading.Lock()
         self._cond_jits: dict[int, Any] = {}
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
@@ -752,8 +751,6 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         return top
 
     def _warm_row_bucket_async(self, bucket: int) -> None:
-        import threading
-
         with self._row_warm_lock:
             if bucket in self._hot_row_buckets or bucket in self._row_warming:
                 return

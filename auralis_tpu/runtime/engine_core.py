@@ -59,6 +59,12 @@ class _Pending:
     # the reference can only stream whole chunks, SURVEY.md §3.3)
     stream_queue: Optional[asyncio.Queue] = None
     enqueue_time: float = field(default_factory=time.time)
+    # prompt embeddings staged on device by the RUNNER (head-of-queue only,
+    # one upload overlapped with the current decode block — a burst of
+    # enqueue-time uploads would starve the latency-critical status fetches
+    # on a slow host link; see the negative result in generate())
+    embeds_dev: Optional[jax.Array] = None
+    staging: bool = False
 
 
 class DecodeEngine:
@@ -275,15 +281,47 @@ class DecodeEngine:
                 return b
         return None  # full length
 
-    def _insert(self, pending: _Pending, slot: int) -> None:
-        cfg, opts = self.cfg, pending.options
-        bucket = prefill_bucket(pending.length, cfg.max_seq_len)
+    def _prompt_dtype(self):
         cache_dtype = self.state.cache.k.dtype
         # int8 caches store quantized K/V; activations stay bf16
-        dtype = jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
-        padded = np.zeros((bucket, cfg.hidden_size), np.float32)
+        return jnp.bfloat16 if cache_dtype == jnp.int8 else cache_dtype
+
+    def _pad_prompt(self, pending: _Pending) -> np.ndarray:
+        bucket = prefill_bucket(pending.length, self.cfg.max_seq_len)
+        padded = np.zeros((bucket, self.cfg.hidden_size), np.float32)
         padded[: pending.length] = pending.embeds
-        embeds_dev = jnp.asarray(padded, dtype)
+        return padded
+
+    def _stage_queue_head(self) -> None:
+        """Stage the next prompt(s) to be inserted (up to 2) on device in an
+        executor thread, overlapping ONE upload with the current decode
+        block. Runner-paced: this never floods the host link the way
+        enqueue-time staging of a whole burst did (negative result in
+        generate())."""
+        for pending in list(self._queue)[:2]:
+            if pending.embeds_dev is not None or pending.staging:
+                continue
+            pending.staging = True
+            arr, dt = self._pad_prompt(pending), self._prompt_dtype()
+
+            def stage(p=pending, a=arr, d=dt):
+                try:
+                    p.embeds_dev = jnp.asarray(a, d)
+                except Exception:
+                    p.embeds_dev = None  # _insert falls back to host path
+                finally:
+                    p.staging = False
+
+            if self._loop is not None:
+                self._loop.run_in_executor(None, stage)
+            else:
+                stage()
+
+    def _insert(self, pending: _Pending, slot: int) -> None:
+        cfg, opts = self.cfg, pending.options
+        embeds_dev = pending.embeds_dev
+        if embeds_dev is None:
+            embeds_dev = jnp.asarray(self._pad_prompt(pending), self._prompt_dtype())
         self.state = insert_sequence(
             self.params,
             cfg,
@@ -428,6 +466,8 @@ class DecodeEngine:
                 st["dispatch_s"] += t1 - t0
                 st["occupancy_sum"] += len(self._slot_owner)
                 self._steps_total += n_steps
+                # overlap the next prompt upload with this block's compute
+                self._stage_queue_head()
                 young = n_steps < self.steps_per_sync
                 if pending_status is not None and not young:
                     # overlaps with the block just dispatched
