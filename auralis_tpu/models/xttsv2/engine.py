@@ -245,6 +245,18 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # slice, tp cuts per-step latency for TTFA-sensitive serving while
         # data_parallel_replicas scales throughput.
         self.mesh = None
+        if pipeline_parallel_size > 1:
+            # the knob exists for reference-API parity (XTTSv2.py:58,215);
+            # at 30 layers / ~0.4B params a pipeline stage split buys
+            # nothing over tp x dp on an ICI mesh (SURVEY.md §2.2) — scale
+            # with tensor_parallel_size and data_parallel_replicas instead
+            logger.warning(
+                "pipeline_parallel_size=%d requested: pipeline parallelism "
+                "is folded into the (data, model) mesh on TPU; use "
+                "tensor_parallel_size (latency) or data_parallel_replicas "
+                "(throughput). Proceeding without a stage split.",
+                pipeline_parallel_size,
+            )
         if tensor_parallel_size > 1:
             from ...parallel.mesh import make_mesh
 
