@@ -45,16 +45,11 @@ def hash_params(*args, **kwargs) -> str:
 
 
 def get_language(text: str) -> str:
-    """Detect the language of `text` (first-party n-gram/script classifier;
-    reference uses langid, common/definitions/requests.py:97-113). zh maps
-    to zh-cn; results are LRU-cached on the text prefix."""
-    key = text[:200]
-
-    def compute():
-        lang = detect_language(text)
-        return "zh-cn" if lang == "zh" else lang
-
-    return _language_cache.get_or(key, compute)
+    """Detect the language of `text` (reference API name,
+    common/definitions/requests.py:97-113). Delegates to the first-party
+    classifier in frontend.langid, which already lru-caches and returns
+    serving codes (zh-cn, never bare zh)."""
+    return detect_language(text)
 
 
 class _LRU(OrderedDict):
@@ -74,7 +69,6 @@ class _LRU(OrderedDict):
 
 
 _enhance_cache = _LRU(maxsize=128)
-_language_cache = _LRU(maxsize=256)
 
 
 @dataclass

@@ -253,12 +253,15 @@ class TTS:
             async for _ in agen:
                 pass
 
-        self.loop.run_until_complete(_run())
-        # the warmup requests only hit the vocoder buckets their chunk
-        # lengths happen to land in; compile the rest explicitly
+        # vocoder buckets FIRST: the warmup requests only hit the buckets
+        # their chunk lengths land in, and compiles dispatched AFTER the
+        # requests would leave queued device work that bleeds into the
+        # first production traffic (precompile_vocoder_buckets drains
+        # itself before returning)
         precompile = getattr(self.tts_engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             precompile()
+        self.loop.run_until_complete(_run())
 
     async def shutdown(self) -> None:
         if self.scheduler:

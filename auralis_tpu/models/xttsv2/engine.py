@@ -319,6 +319,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._hot_row_buckets: set[int] = set()
         self._row_warming: set[int] = set()
         self._row_warm_lock = threading.Lock()
+        # guards check-then-insert on _vocoder_jits from concurrent batch /
+        # warm threads: a lost race would build DUPLICATE jit wrappers for
+        # the same program, each paying its own multi-second remote compile
+        self._jit_build_lock = threading.Lock()
         self._cond_jits: dict[int, Any] = {}
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
@@ -702,7 +706,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         if bucket is None:
             bucket = math.ceil(t_max / LATENT_BUCKETS_STEP) * LATENT_BUCKETS_STEP
         key = ("row", bucket)
-        if key not in self._vocoder_jits:
+        fn = self._vocoder_jits.get(key)
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            fn = self._vocoder_jits.get(key)  # double-checked: lost races
+            if fn is not None:  # must reuse ONE wrapper (jit caches per fn)
+                return fn
             cfg = self.hifi_config
             cut = min(bucket, t_max)
 
@@ -749,7 +759,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         programs after a few batches with zero mid-request compile stalls;
         TTS.warmup() skips all of this by precompiling every bucket."""
         ideal = self.row_bucket(max_n)
-        hot = self._hot_row_buckets
+        with self._row_warm_lock:  # warm threads mutate the set concurrently
+            hot = set(self._hot_row_buckets)
         if ideal in hot:
             return ideal
         self._warm_row_bucket_async(ideal)
@@ -789,16 +800,20 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
     def precompile_vocoder_buckets(self, batch: int = 4) -> None:
         """Compile every (bucket, batch) row-vocoder program up front so
-        length-bucketed serving never pays a mid-stream XLA compile."""
+        length-bucketed serving never pays a mid-stream XLA compile.
+        Warming EXECUTES a dummy batch (an AOT .lower().compile() does not
+        reliably populate the jit call cache) and DRAINS it, so no queued
+        work bleeds past this call into serving traffic."""
         t_max = self.gpt_config.max_audio_tokens
         d = self.gpt_config.hidden_size
         rows = jnp.zeros((batch, t_max, d), jnp.float32)
         ns = jnp.full((batch,), 1, jnp.int32)
         gs = jnp.zeros((batch, self.hifi_config.d_vector_dim), jnp.float32)
         for b in VOCODER_LATENT_BUCKETS:
-            _ = self._vocode_row_fn(b)(self.core["hifigan"], rows, ns, gs)
+            out = self._vocode_row_fn(b)(self.core["hifigan"], rows, ns, gs)
             with self._row_warm_lock:
                 self._hot_row_buckets.add(b)
+        _ = jax.device_get(out[0, :1])  # drain the queued executions
 
     def vocode_device_row(
         self, latents_row: jax.Array, n: int, speaker_embedding: np.ndarray

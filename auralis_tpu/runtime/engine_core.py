@@ -327,6 +327,14 @@ class DecodeEngine:
         embeds_dev = pending.embeds_dev
         if embeds_dev is None:
             embeds_dev = jnp.asarray(self._pad_prompt(pending), self._prompt_dtype())
+        # the pending stays referenced in _slot_owner for the whole
+        # generation — drop the staged device buffer now (prefill has
+        # consumed it) instead of pinning ~1-2 MB of HBM per occupied slot.
+        # A still-running stage() thread may re-set it afterwards (pendings
+        # leave the queue before their stage completes under races); that
+        # pin is bounded to the <=2 stages in flight and released at
+        # harvest when the _Pending itself is dropped.
+        pending.embeds_dev = None
         self.state = insert_sequence(
             self.params,
             cfg,
