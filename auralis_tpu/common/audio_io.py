@@ -175,7 +175,9 @@ def load_audio(source: AudioSource, sampling_rate: int) -> np.ndarray:
                 "Input is not WAV or FLAC and no ffmpeg binary is on PATH "
                 "to decode compressed formats"
             )
-        mono, sr = ffmpeg_codec.decode(data)
+        # resample once inside ffmpeg straight to the model rate (avoids
+        # decode-at-guessed-rate followed by a second sinc resample here)
+        mono, sr = ffmpeg_codec.decode(data, target_sample_rate=sampling_rate)
         audio = mono[None]
     if audio.shape[0] != 1:
         audio = audio.mean(axis=0, keepdims=True)

@@ -56,7 +56,9 @@ def encode(
         )
     muxer, codec, default_kbps = _FORMATS[format]
     kbps = bitrate_kbps or default_kbps
-    pcm = (np.clip(np.asarray(wav, np.float32), -1.0, 1.0) * 32767.0).astype("<i2")
+    # round-to-nearest matches the other float->int16 paths (native_audio,
+    # vocoder); truncation would bias the lossy encoder input by up to 1 LSB
+    pcm = np.round(np.clip(np.asarray(wav, np.float32), -1.0, 1.0) * 32767.0).astype("<i2")
     cmd = [
         exe, "-hide_banner", "-loglevel", "error",
         "-f", "s16le", "-ar", str(sample_rate), "-ac", "1", "-i", "pipe:0",
@@ -72,15 +74,22 @@ def encode(
     return proc.stdout
 
 
-def decode(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode compressed audio bytes -> (mono float32 waveform, sample_rate)."""
+def decode(
+    data: bytes, target_sample_rate: int | None = None
+) -> tuple[np.ndarray, int]:
+    """Decode compressed audio bytes -> (mono float32 waveform, sample_rate).
+
+    With `target_sample_rate`, ffmpeg resamples directly to it in one pass
+    (callers that would otherwise sinc-resample the result again should pass
+    their model rate here). Without it, the source rate is probed via
+    ffprobe, falling back to 48 kHz."""
     exe = ffmpeg_path()
     if exe is None:
         raise RuntimeError(
             "Decoding this compressed format needs an ffmpeg binary on PATH "
             "(none found); supported first-party inputs are wav and flac"
         )
-    sr = _probe_sample_rate(data) or 48000
+    sr = target_sample_rate or _probe_sample_rate(data) or 48000
     cmd = [
         exe, "-hide_banner", "-loglevel", "error",
         "-i", "pipe:0",

@@ -19,7 +19,10 @@ import numpy as np
 
 from . import audio_io
 from .enhancer import AudioPreprocessingConfig, EnhancedAudioProcessor
+from .logger import setup_logger
 from ..frontend.langid import detect_language
+
+logger = setup_logger(__name__)
 
 SupportedLanguages = Literal[
     "en", "es", "fr", "de", "it", "pt", "pl", "tr", "ru", "nl", "cs", "ar",
@@ -139,7 +142,7 @@ class TTSRequest:
                 audio_io.write_wav(out_path, processed, audio_config.sample_rate)
                 return str(out_path)
             except Exception as e:
-                print(f"Error processing audio: {e}. Using original file.")
+                logger.warning("Error processing audio: %s. Using original file.", e)
                 return audio_source
 
         return _enhance_cache.get_or(cache_key, compute)

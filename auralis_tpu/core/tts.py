@@ -14,6 +14,7 @@ import os
 import time
 import uuid
 from functools import partial
+from pathlib import Path
 from typing import AsyncGenerator, Dict, Generator, List, Optional, Union
 
 from ..common.logger import set_backend_logging_level, setup_logger
@@ -261,7 +262,10 @@ class TTS:
         precompile = getattr(self.tts_engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             precompile()
-        self.loop.run_until_complete(_run())
+        try:
+            self.loop.run_until_complete(_run())
+        finally:
+            Path(voice_path).unlink(missing_ok=True)
 
     async def shutdown(self) -> None:
         if self.scheduler:

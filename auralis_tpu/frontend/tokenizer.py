@@ -112,7 +112,7 @@ class TTSTokenizer:
 
     def decode(self, ids: List[int]) -> str:
         text = self.tokenizer.decode(list(ids), skip_special_tokens=False)
-        return text.replace(self.space_token, " ").replace("", "")
+        return text.replace(self.space_token, " ")
 
     def check_input_length(self, text: str, lang: str) -> bool:
         base = lang.split("-")[0]

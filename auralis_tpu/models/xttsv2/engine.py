@@ -14,6 +14,7 @@ re-architected around first-party JAX programs:
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import json
 import threading
 import math
@@ -220,15 +221,24 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         **kwargs,
     ):
         self.hifi_config = hifi_config
-        self.gpt_config = gpt_config
         if kv_int8 is None and not gpt_config.flash_decode:
-            # serving default on TPU: int8 KV halves decode's KV-read
-            # bandwidth (the decode bottleneck) at 46 dB logit SNR
+            # serving default on single-chip TPU: int8 KV halves decode's
+            # KV-read bandwidth (the decode bottleneck) at 46 dB logit SNR
             # (tests/unit/test_kv_int8.py); CPU (hermetic tests) stays at
-            # the cache_dtype for exact parity checks
-            kv_int8 = jax.default_backend() == "tpu"
-        if kv_int8 is not None:
-            gpt_config.kv_int8 = kv_int8
+            # the cache_dtype for exact parity checks. Under tensor
+            # parallelism the default is OFF: _quantize_rows reduces over
+            # the model-sharded lane axis and the block-diagonal int8
+            # einsums contract over the sharded dim, so GSPMD inserts
+            # per-layer collectives that eat the tp latency win — opt in
+            # explicitly if a profile on the target slice says otherwise.
+            kv_int8 = (
+                jax.default_backend() == "tpu" and tensor_parallel_size == 1
+            )
+        if kv_int8 is not None and kv_int8 != gpt_config.kv_int8:
+            # never mutate the caller's config: it may be shared across
+            # engine instances/replicas or inspected after construction
+            gpt_config = dataclasses.replace(gpt_config, kv_int8=kv_int8)
+        self.gpt_config = gpt_config
         if gpt_config.kv_int8:
             assert not gpt_config.flash_decode, (
                 "kv_int8 and flash_decode are mutually exclusive"
@@ -294,7 +304,11 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
         # chunk-level parallelism exceeds request concurrency (one request
         # fans out into many text chunks) — default to 2x slots
-        self.decode_slots = decode_slots or max(2, 2 * max_concurrency)
+        self.cache_dtype = cache_dtype
+        self.decode_slots = self._fit_slots_to_hbm(
+            decode_slots or max(2, 2 * max_concurrency),
+            slots_explicit=decode_slots is not None,
+        )
         self.decode_engine = DecodeEngine(
             params,
             gpt_config,
@@ -328,6 +342,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._cond_cache: dict[str, tuple] = {}
         self._vocode_batcher = _VocodeBatcher(self)
         self._packed_resblocks = self._maybe_pack_resblocks()
+        self.get_memory_usage_curve()
 
     def _maybe_pack_resblocks(self):
         """Pre-pack HiFi-GAN MRF weights for the fused Pallas kernel
@@ -355,8 +370,6 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             logger.warning("fused MRF packing failed (%s); using XLA convs", e)
             return None
 
-        self.get_memory_usage_curve()
-
     # ----------------------------------------------------------- properties
     @property
     def conditioning_config(self) -> ConditioningConfig:
@@ -364,15 +377,77 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             speaker_embeddings=True, gpt_like_decoder_conditioning=True
         )
 
-    def get_memory_usage_curve(self) -> float:
-        """HBM budget: weights + per-slot dense KV (bf16). Logged so operators
-        can size `max_concurrency` against the chip's HBM (the TPU analogue of
-        the reference's empirical VRAM polynomial, XTTSv2.py:152-171)."""
+    def _hbm_plan_bytes(self) -> tuple[int, int]:
+        """(weight_bytes, per_slot_bytes) of the static HBM plan.
+
+        Weights = GPT + conditioning/vocoder pytrees as materialized on
+        device. Per-slot = dense KV rows [L, T_max, 2*D] in the cache dtype
+        (1 byte + f32 scale rows when kv_int8) plus the per-slot latent
+        accumulation buffer [T_audio, D] f32 (decode_loop.py:69)."""
         cfg = self.gpt_config
-        weight_bytes = sum(
-            np.prod(x.shape) * x.dtype.itemsize for x in jax.tree.leaves(self.params)
-        )
-        slot_bytes = cfg.num_hidden_layers * cfg.max_seq_len * 2 * cfg.hidden_size * 2
+
+        def _bytes(tree) -> int:
+            return sum(
+                int(np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(tree)
+                if hasattr(x, "shape")
+            )
+
+        weight_bytes = _bytes(self.params) + _bytes(self.core)
+        if cfg.kv_int8:
+            per_token = 2 * cfg.hidden_size * 1 + 2 * 4  # int8 k/v + f32 scales
+        else:
+            per_token = 2 * cfg.hidden_size * jnp.dtype(self.cache_dtype).itemsize
+        slot_bytes = cfg.num_hidden_layers * cfg.max_seq_len * per_token
+        slot_bytes += cfg.max_audio_tokens * cfg.hidden_size * 4  # latents_buf
+        return weight_bytes, slot_bytes
+
+    def _fit_slots_to_hbm(self, num_slots: int, *, slots_explicit: bool) -> int:
+        """Clamp the KV slot count so weights + KV fit the chip's HBM.
+
+        The TPU analogue of the reference's empirical VRAM polynomial +
+        `gpu_memory_utilization` sizing (XTTSv2.py:152-171, base.py:160-177):
+        here the plan is exact arithmetic, not a curve fit. When the runtime
+        exposes no `bytes_limit` (some backends don't), the plan is logged by
+        `get_memory_usage_curve` but not enforced."""
+        weight_bytes, slot_bytes = self._hbm_plan_bytes()
+        limit = None
+        try:
+            stats = jax.local_devices()[0].memory_stats()
+            if stats:
+                limit = stats.get("bytes_limit")
+        except Exception:  # pragma: no cover — backend without memory_stats
+            limit = None
+        if not limit:
+            return num_slots
+        # 8% headroom for activations, XLA scratch and compiled programs
+        budget = int(limit * 0.92) - weight_bytes
+        if budget < 2 * slot_bytes:
+            raise RuntimeError(
+                f"model weights ({weight_bytes / 1024**3:.2f} GiB) + 2 KV slots "
+                f"({2 * slot_bytes / 1024**2:.0f} MiB) exceed device HBM "
+                f"({limit / 1024**3:.2f} GiB); this chip cannot serve this model"
+            )
+        fit = int(budget // slot_bytes)
+        if fit < num_slots:
+            level = logger.error if slots_explicit else logger.warning
+            level(
+                "decode_slots=%d needs %.2f GiB KV but only %.2f GiB HBM "
+                "remains after weights — clamping to %d slots",
+                num_slots,
+                num_slots * slot_bytes / 1024**3,
+                budget / 1024**3,
+                fit,
+            )
+            return fit
+        return num_slots
+
+    def get_memory_usage_curve(self) -> float:
+        """HBM budget: weights + per-slot dense KV. Logged at engine boot so
+        operators can size `max_concurrency` against the chip's HBM (the TPU
+        analogue of the reference's empirical VRAM polynomial,
+        XTTSv2.py:152-171)."""
+        weight_bytes, slot_bytes = self._hbm_plan_bytes()
         total = weight_bytes + slot_bytes * self.decode_slots
         self.max_gb_for_model = total / 1024**3
         logger.info(

@@ -63,6 +63,37 @@ def test_sharded_matches_single_device():
     assert n_gen[1] == 7  # first token from prefill + 6 decode steps
 
 
+def test_int8_kv_sharded_matches_single_device():
+    """kv_int8 under a (data x model) mesh: _quantize_rows reduces over the
+    model-sharded lane axis and the block-diagonal int8 einsums contract over
+    the sharded dim — GSPMD must insert the collectives that keep this exact.
+    (Serving defaults int8 OFF under tp for latency; this pins correctness
+    for operators who opt in.)"""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_test_config().gpt, kv_int8=True)
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompt = 0.3 * rng.standard_normal((14, cfg.hidden_size)).astype(np.float32)
+
+    state1 = init_decode_state(cfg, 8, jax.random.PRNGKey(1), dtype=jnp.float32)
+    state1 = _run(params, cfg, state1, prompt)
+    tokens1 = np.asarray(jax.device_get(state1.tokens_buf[1]))
+
+    mesh = make_mesh(data=2, model=4)
+    params_s = shard_gpt_params(params, mesh)
+    state2 = init_decode_state(cfg, 8, jax.random.PRNGKey(1), dtype=jnp.float32)
+    state2 = shard_decode_state(state2, mesh)
+    assert state2.cache.k.dtype == jnp.int8
+    state2 = _run(params_s, cfg, state2, prompt)
+    tokens2 = np.asarray(jax.device_get(state2.tokens_buf[1]))
+
+    np.testing.assert_array_equal(tokens1, tokens2)
+    _, lat1 = harvest(state1, 1)
+    _, lat2 = harvest(state2, 1)
+    np.testing.assert_allclose(np.asarray(lat1), np.asarray(lat2), atol=1e-5)
+
+
 def test_pure_tp_mesh():
     cfg = tiny_test_config().gpt
     params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
