@@ -51,17 +51,43 @@ class TTS:
                 self.loop = asyncio.new_event_loop()
                 asyncio.set_event_loop(self.loop)
 
+    @staticmethod
+    def _resolve_model_source(name_or_path: str) -> str:
+        """Local directory passthrough, else a Hugging Face Hub id resolved
+        via snapshot_download (reference: hf_hub_download fallback,
+        core/tts.py:72-81). huggingface_hub is an optional dependency; in an
+        offline build a hub id degrades to a clear ValueError."""
+        if os.path.isdir(name_or_path):
+            return name_or_path
+        try:
+            from huggingface_hub import snapshot_download
+        except ImportError as e:
+            raise ValueError(
+                f"Could not load model from {name_or_path}: not a local "
+                "directory, and huggingface_hub is not installed to treat it "
+                "as a Hub id"
+            ) from e
+        try:
+            return snapshot_download(repo_id=name_or_path)
+        except Exception as e:
+            raise ValueError(
+                f"Could not load model from {name_or_path} neither locally "
+                f"nor from the Hub: {e}"
+            ) from e
+
     def from_pretrained(self, model_name_or_path: str, **kwargs) -> "TTS":
-        """Load a model directory (synchronous)."""
+        """Load a local model directory or Hub id (synchronous)."""
         self._ensure_event_loop()
+        model_name_or_path = self._resolve_model_source(model_name_or_path)
+        if kwargs.get("gpt_model"):
+            kwargs["gpt_model"] = self._resolve_model_source(kwargs["gpt_model"])
         config_path = os.path.join(model_name_or_path, "config.json")
         try:
             with open(config_path) as f:
                 config = json.load(f)
         except FileNotFoundError as e:
             raise ValueError(
-                f"Could not load model from {model_name_or_path}: no config.json "
-                "(hub download is unavailable in this offline build — pass a local dir)"
+                f"Could not load model from {model_name_or_path}: no config.json"
             ) from e
         factory = get_model_factory(config.get("model_type", "xtts"))
         n_replicas = kwargs.pop("data_parallel_replicas", 1)

@@ -148,3 +148,78 @@ def test_chat_completions_upstream_error(app, voice_b64):
     resp, body = asyncio.run(_request(app, "post", "/v1/chat/completions", json=payload))
     assert resp.status == 200  # SSE stream with an error event
     assert b"error" in body and b"[DONE]" in body
+
+
+def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
+    """Full SSE interleave with a stubbed upstream LLM (reference behavior:
+    entrypoints/oai_server.py:95-222): text deltas are forwarded as chat
+    chunks, every N words a base64 `audio.chunk` event is emitted, the tail
+    remainder is vocalized, and the stream ends with [DONE]."""
+    import asyncio
+    import json as _json
+
+    from aiohttp import web
+
+    deltas = ["Hello ", "there ", "friend ", "of ", "mine ", "tail"]
+
+    async def stub_chat(request):
+        body = await request.json()
+        assert body.get("stream") is True
+        assert "modalities" not in body  # voice-specific fields stripped
+        assert "speaker_files" not in body
+        resp = web.StreamResponse(
+            status=200, headers={"Content-Type": "text/event-stream"}
+        )
+        await resp.prepare(request)
+        for i, d in enumerate(deltas):
+            chunk = {
+                "id": "chatcmpl-stub", "object": "chat.completion.chunk",
+                "choices": [{"index": 0, "delta": {"content": d},
+                             "finish_reason": None}],
+            }
+            await resp.write(f"data: {_json.dumps(chunk)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        return resp
+
+    async def run():
+        stub_app = web.Application()
+        stub_app.router.add_post("/v1/chat/completions", stub_chat)
+        async with TestClient(TestServer(stub_app)) as stub_client:
+            upstream_url = str(stub_client.make_url("/v1"))
+            payload = {
+                "model": "llm",
+                "messages": [{"role": "user", "content": "hi"}],
+                "speaker_files": [voice_b64],
+                "openai_api_url": upstream_url,
+                "vocalize_at_every_n_words": 2,
+                "language": "en",
+            }
+            async with TestClient(TestServer(app)) as client:
+                resp = await client.post("/v1/chat/completions", json=payload)
+                assert resp.status == 200
+                assert resp.headers["Content-Type"].startswith("text/event-stream")
+                raw = await resp.read()
+        return raw.decode()
+
+    raw = asyncio.run(run())
+    events = [
+        _json.loads(line[len("data:"):].strip())
+        for line in raw.splitlines()
+        if line.startswith("data:") and line[len("data:"):].strip() != "[DONE]"
+    ]
+    assert raw.rstrip().endswith("data: [DONE]")
+
+    chat_chunks = [e for e in events if e.get("object") == "chat.completion.chunk"]
+    audio_chunks = [e for e in events if e.get("object") == "audio.chunk"]
+    assert [c["choices"][0]["delta"]["content"] for c in chat_chunks] == deltas
+    # 6 words at vocalize_at_every_n_words=2 -> >=2 segment events + tail
+    assert len(audio_chunks) >= 2
+    for a in audio_chunks:
+        wav_bytes = base64.b64decode(a["data"])
+        audio, sr = audio_io.read_wav(wav_bytes)
+        assert sr == 24000 and audio.shape[-1] > 0
+    # interleaving: the first audio event arrives before the last chat chunk
+    order = [e.get("object") for e in events]
+    assert order.index("audio.chunk") < len(order) - 1 - order[::-1].index(
+        "chat.completion.chunk"
+    )
