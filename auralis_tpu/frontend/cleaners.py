@@ -13,7 +13,13 @@ import re
 from functools import lru_cache
 
 from . import numwords as nw
-from .transliterate import chinese_to_pinyin, hangul_to_latin, ja_number_to_romaji, kana_to_romaji
+from .transliterate import (
+    chinese_to_pinyin,
+    hangul_to_latin,
+    ja_kanji_to_kana,
+    ja_number_to_romaji,
+    kana_to_romaji,
+)
 from .zh_numwords import TextNorm as ZhTextNorm
 
 _WHITESPACE_RE = re.compile(r"\s+")
@@ -191,9 +197,12 @@ def multilingual_cleaners(text: str, lang: str) -> str:
 
 
 def japanese_cleaners(text: str) -> str:
-    """Kana -> romaji; arabic numerals -> Sino-Japanese romaji; lowercase.
-    Kanji passes through (no reading dictionary in this image)."""
+    """Kanji -> kana (embedded word/char reading tables) -> romaji; arabic
+    numerals -> Sino-Japanese romaji; lowercase. (Reference runs cutlet/MeCab,
+    tokenizer.py:732-735; the table-driven pipeline is the first-party
+    equivalent for this image.)"""
     text = re.sub(r"[0-9]+", lambda m: f" {ja_number_to_romaji(int(m.group(0)))} ", text)
+    text = ja_kanji_to_kana(text)
     text = kana_to_romaji(text)
     return collapse_whitespace(text.lower()).strip()
 

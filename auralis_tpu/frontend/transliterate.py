@@ -168,16 +168,89 @@ def pinyin_available() -> bool:
         return False
 
 
+def _is_han(ch: str) -> bool:
+    o = ord(ch)
+    return 0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+
+
 def chinese_to_pinyin(text: str) -> str:
-    """Hanzi -> tone3 pinyin when pypinyin is importable; otherwise identity
-    (the BPE still sees the raw hanzi)."""
+    """Hanzi -> TONE3 pinyin (tone digit appended, neutral = 5), matching the
+    reference's pypinyin call (tokenizer.py:727-730). Uses pypinyin when
+    importable; otherwise the embedded first-party table
+    (frontend/data/pinyin.py): longest-first phrase match for heteronym words,
+    then per-character most-common reading. Non-han characters pass through;
+    han characters outside the ~2.7k-char table become a space (a raw hanzi
+    the BPE has never seen is worse than a dropped syllable)."""
     try:
         import pypinyin
     except ImportError:
-        return text
-    return "".join(
-        p[0]
-        for p in pypinyin.pinyin(
-            text, style=pypinyin.Style.TONE3, heteronym=False, neutral_tone_with_five=True
+        pypinyin = None
+    if pypinyin is not None:
+        return "".join(
+            p[0]
+            for p in pypinyin.pinyin(
+                text, style=pypinyin.Style.TONE3, heteronym=False,
+                neutral_tone_with_five=True,
+            )
         )
-    )
+
+    from .data.pinyin import CHAR_READINGS, MAX_PHRASE_LEN, PHRASE_READINGS
+
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if not _is_han(ch):
+            out.append(ch)
+            i += 1
+            continue
+        matched = False
+        for k in range(min(MAX_PHRASE_LEN, n - i), 1, -1):
+            cand = text[i:i + k]
+            reading = PHRASE_READINGS.get(cand)
+            if reading is not None:
+                out.append(reading)
+                i += k
+                matched = True
+                break
+        if matched:
+            continue
+        out.append(CHAR_READINGS.get(ch, " "))
+        i += 1
+    return "".join(out)
+
+
+def ja_kanji_to_kana(text: str) -> str:
+    """Kanji -> hiragana via the embedded word + per-character tables
+    (frontend/data/kanji.py) — the first-party stand-in for the reference's
+    cutlet/MeCab pipeline (tokenizer.py:732-735). Kana and other characters
+    pass through (kana_to_romaji romanizes them next); unknown kanji become
+    a space."""
+    from .data.kanji import CHAR_READINGS, MAX_WORD_LEN, WORD_READINGS
+
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        matched = False
+        for k in range(min(MAX_WORD_LEN, n - i), 0, -1):
+            cand = text[i:i + k]
+            # word entries may mix kanji and okurigana; only consult the
+            # table when the window contains at least one kanji
+            if any(_is_han(c) for c in cand):
+                reading = WORD_READINGS.get(cand)
+                if reading is not None:
+                    out.append(reading)
+                    i += k
+                    matched = True
+                    break
+        if matched:
+            continue
+        ch = text[i]
+        if _is_han(ch):
+            out.append(CHAR_READINGS.get(ch, " "))
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
