@@ -39,6 +39,16 @@ def span(name: str) -> Iterator[None]:
             rec[2] = max(rec[2], dt)
 
 
+def record(name: str, seconds: float) -> None:
+    """Add an externally-measured duration to the span aggregates (for
+    regions whose start/end live in different call frames, e.g. queue waits)."""
+    with _lock:
+        rec = _spans[name]
+        rec[0] += 1
+        rec[1] += seconds
+        rec[2] = max(rec[2], seconds)
+
+
 def profile_summary(reset: bool = False) -> Dict[str, dict]:
     """{span: {count, total_s, mean_ms, max_ms}}."""
     with _lock:

@@ -1,12 +1,17 @@
 """First-party language identification for the 17 supported languages.
 
 Replaces the reference's `langid` dependency (reference:
-common/definitions/requests.py:96-113). Two stages:
+common/definitions/requests.py:96-113) with a three-stage scorer:
 
 1. Script detection — CJK / kana / hangul / cyrillic / arabic / devanagari
    uniquely identify zh-cn, ja, ko, ru, ar, hi.
-2. Latin-script languages are scored with stopword/diacritic evidence
-   (function words are the highest-signal, lowest-memory discriminator).
+2. Latin-script languages are scored by combining three evidence streams:
+   - function words (highest-signal discriminator when present),
+   - character trigrams (carry the signal on short or stopword-free text,
+     the langid.py insight scaled down to a hand-curated profile),
+   - word suffixes + diacritics, with language-exclusive marks (ñ ß ő ř ğ ą ã)
+     weighted as near-decisive.
+3. Weighted sum, length-normalized so no profile's size biases the result.
 
 Returns ISO codes used by the model config ("zh-cn" for Chinese).
 """
@@ -19,50 +24,127 @@ from functools import lru_cache
 _STOPWORDS: dict[str, set[str]] = {
     "en": {"the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for",
            "are", "with", "his", "they", "this", "have", "from", "not", "she", "he",
-           "will", "would", "there", "their", "what", "about", "which"},
+           "will", "would", "there", "their", "what", "about", "which", "when",
+           "were", "been", "has", "had", "its", "who", "did", "does", "because",
+           "could", "them", "then", "than", "only", "into", "some", "these", "my"},
     "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "se", "no", "por",
            "con", "para", "los", "las", "del", "su", "al", "lo", "como", "más",
-           "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta", "entre"},
+           "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta", "entre",
+           "cuando", "muy", "sin", "sobre", "también", "me", "hasta", "hay",
+           "donde", "quien", "desde", "todo", "nos", "durante", "todos", "uno",
+           "les", "ni", "contra", "otros", "ese", "eso", "ante", "ellos", "e"},
     "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "du", "que",
            "qui", "dans", "pour", "pas", "sur", "vous", "avec", "son", "ne", "se",
-           "ce", "il", "elle", "au", "plus", "par", "mais", "nous", "je", "tout"},
+           "ce", "il", "elle", "au", "plus", "par", "mais", "nous", "je", "tout",
+           "ont", "été", "sont", "aux", "cette", "ses", "comme", "ou", "si",
+           "leur", "y", "dont", "aussi", "fait", "peut", "deux", "même", "où",
+           "après", "sans", "être", "très", "bien", "autre", "entre"},
     "de": {"der", "die", "und", "das", "ist", "in", "den", "von", "zu", "mit",
            "sich", "des", "auf", "für", "nicht", "ein", "eine", "als", "auch", "es",
-           "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "wird", "bei"},
-    "it": {"il", "di", "che", "la", "è", "e", "un", "una", "per", "in", "non", "sono",
-           "con", "si", "del", "le", "gli", "della", "ma", "come", "più", "anche",
-           "lo", "questo", "ha", "hanno", "nel", "alla", "essere", "questa"},
+           "an", "werden", "aus", "er", "hat", "dass", "sie", "nach", "wird", "bei",
+           "einer", "um", "am", "sind", "noch", "wie", "einem", "über", "einen",
+           "so", "zum", "war", "haben", "nur", "oder", "aber", "vor", "zur", "bis",
+           "mehr", "durch", "man", "sein", "wurde", "sei", "beim", "im"},
+    "it": {"il", "di", "che", "la", "è", "e", "un", "una", "per", "in", "non",
+           "sono", "con", "si", "del", "le", "gli", "della", "ma", "come", "più",
+           "anche", "lo", "questo", "ha", "hanno", "nel", "alla", "essere",
+           "questa", "da", "su", "dei", "nella", "era", "delle", "suo", "sua",
+           "dalla", "sono", "tra", "stato", "quando", "cui", "dal", "ai", "loro"},
     "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para", "é", "com",
-           "não", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos", "como",
-           "mas", "foi", "ao", "ele", "das", "tem", "à", "seu", "sua", "ou", "são"},
-    "pl": {"w", "i", "na", "z", "do", "to", "że", "się", "nie", "jest", "jak", "po",
-           "co", "tak", "za", "od", "ale", "czy", "był", "ma", "przez", "być", "dla",
-           "go", "tego", "tym", "już", "tylko", "może", "bardzo", "kiedy"},
-    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "te", "zijn",
-           "met", "voor", "niet", "aan", "er", "ook", "als", "maar", "om", "dan",
-           "zou", "wat", "bij", "nog", "naar", "heeft", "hij", "worden", "deze"},
+           "não", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
+           "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu", "sua",
+           "ou", "são", "quando", "muito", "há", "nos", "já", "está", "eu",
+           "também", "só", "pelo", "pela", "até", "isso", "ela", "entre", "era",
+           "depois", "sem", "mesmo", "aos", "ter", "seus", "quem", "nas"},
+    "pl": {"w", "i", "na", "z", "do", "to", "że", "się", "nie", "jest", "jak",
+           "po", "co", "tak", "za", "od", "ale", "czy", "był", "ma", "przez",
+           "być", "dla", "go", "tego", "tym", "już", "tylko", "może", "bardzo",
+           "kiedy", "oraz", "który", "która", "które", "ich", "było", "są",
+           "będzie", "pod", "przy", "bez", "nad", "jego", "jej", "tej", "ten"},
+    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "maar",
+           "om", "dan", "zou", "wat", "bij", "nog", "naar", "heeft", "hij",
+           "worden", "deze", "uit", "of", "over", "hebben", "tot", "u", "ze",
+           "werd", "wordt", "door", "kan", "hun", "meer", "geen", "al", "je"},
     "tr": {"bir", "ve", "bu", "da", "de", "için", "ile", "mi", "ne", "o", "çok",
-           "daha", "gibi", "ama", "ben", "var", "kadar", "sonra", "her", "olarak",
-           "en", "diye", "değil", "olan", "iki", "yok", "bana", "beni", "sen"},
+           "daha", "gibi", "ama", "ben", "var", "kadar", "sonra", "her",
+           "olarak", "en", "diye", "değil", "olan", "iki", "yok", "bana",
+           "beni", "sen", "ki", "ya", "şey", "bunu", "göre", "kendi", "biz",
+           "onun", "ona", "şu", "nasıl", "neden", "zaman", "artık", "bile"},
     "cs": {"a", "se", "na", "je", "v", "že", "s", "do", "to", "si", "k", "ale",
            "jako", "za", "po", "jsem", "by", "co", "nebo", "tak", "už", "při",
-           "před", "být", "jeho", "své", "který", "která", "jsou", "byl", "bylo"},
-    "hu": {"a", "az", "és", "hogy", "nem", "is", "egy", "volt", "meg", "csak", "de",
-           "ha", "már", "mint", "el", "még", "van", "aki", "ki", "te", "azt", "ezt",
-           "vagy", "amely", "lesz", "nagy", "ő", "mert", "minden", "olyan"},
+           "před", "být", "jeho", "své", "který", "která", "jsou", "byl",
+           "bylo", "byla", "od", "pro", "i", "o", "však", "také", "když",
+           "mezi", "než", "ze", "aby", "tím", "této", "ještě", "pak"},
+    "hu": {"a", "az", "és", "hogy", "nem", "is", "egy", "volt", "meg", "csak",
+           "de", "ha", "már", "mint", "el", "még", "van", "aki", "ki", "te",
+           "azt", "ezt", "vagy", "amely", "lesz", "nagy", "ő", "mert",
+           "minden", "olyan", "ez", "így", "majd", "két", "őket", "neki",
+           "vele", "ami", "után", "most", "itt", "akkor", "nincs", "pedig"},
 }
 
-_DIACRITIC_HINTS: dict[str, str] = {
+# Characters that (among the 11 Latin-script languages here) occur in exactly
+# one orthography — near-decisive evidence even in a single word.
+_EXCLUSIVE_CHARS: dict[str, str] = {
     "es": "ñ¿¡",
-    "fr": "àâçèéêëîïôùûœ",
-    "de": "äöüß",
-    "pt": "ãõçáâê",
-    "it": "àèéìòù",
-    "pl": "ąćęłńóśźż",
-    "cs": "čďěňřšťůž",
+    "de": "ß",
+    "pt": "ãõ",
+    "pl": "ąęłńśźż",
+    "cs": "ěřůťď",
     "hu": "őű",
-    "tr": "ğışİ",
-    "nl": "ij",
+    "tr": "ğış",
+}
+
+# Shared but suggestive diacritics (small boosts).
+_DIACRITIC_HINTS: dict[str, str] = {
+    "fr": "àâçèêëîïôùûœ",
+    "de": "äöü",
+    "pt": "çáâê",
+    "it": "àèìòù",
+    "es": "áéíóú",
+    "pl": "óć",
+    "cs": "čšžýáíé",
+    "hu": "öüóéáí",
+    "tr": "çöü",
+}
+
+# Hand-curated high-frequency character trigrams (space = word boundary).
+# These carry the decision on short inputs with no stopwords and separate
+# close pairs (es/pt, cs/pl): suffix morphology lives here too.
+_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "ng ", "and", "nd ", "ion", " of",
+           "of ", "ed ", "er ", " to", "to ", "ent", "ith", " wh", "ou ",
+           "ati", "for", "ly ", "ver", " re", "are", " be"),
+    "es": (" de", "de ", " la", "la ", "os ", " qu", "que", "ue ", "el ",
+           " el", "ión", "ció", "aci", "ar ", " es", "as ", "era", "ado",
+           " co", "nte", "sta", "ien", "cia", "ment", "los"),
+    "fr": (" de", "de ", " le", "le ", "es ", "ent", "nt ", "que", " qu",
+           " la", "la ", "ion", "tio", "ait", "les", " et", "et ", "re ",
+           "eur", "ais", "our", " pa", "ur ", "eme", "é "),
+    "de": ("en ", "er ", " de", "der", "ie ", "die", "ch ", "sch", "ein",
+           " ei", "ich", "nde", "und", " un", "ung", "cht", "ver", "gen",
+           "ten", "ben", " ge", "ung", "ite", "eit", "den"),
+    "it": (" di", "di ", "re ", " la", "to ", " co", "no ", "che", " ch",
+           "he ", "zio", "one", "ell", "lla", "are", "del", " de", "nte",
+           "ato", "ita", "gli", " gl", "ono", "ant", "ale"),
+    "pt": (" de", "de ", "os ", "ão ", "ção", " co", "ar ", " es", "ra ",
+           "da ", " da", "do ", " do", "ent", "nte", " pa", "ada", "que",
+           " qu", "ara", "ida", "dos", "ais", "õe", "em "),
+    "pl": ("ie ", "nie", " ni", "że ", " że", "ch ", "ych", "go ", "ego",
+           " po", "owa", "em ", "prz", "rze", "się", " si", "ię ", "ać ",
+           "ani", "ość", "ow", "dzi", "cz", "sz", " wy"),
+    "nl": ("en ", "de ", " de", "et ", "het", " he", "van", " va", "an ",
+           "een", " ee", "aar", "ijk", "ij ", "ver", "oor", " ge", "ing",
+           "cht", " ve", "den", "der", "sch", "elijk", "aat"),
+    "tr": ("lar", "ler", "ir ", "bir", " bi", "ın ", "da ", "mak", "mek",
+           "yor", "iyo", "dır", "ığı", "ünü", "ara", "an ", "ını", "nda",
+           "ndan", "inde", "sın", "şı", "ğı", "ün", "ük"),
+    "cs": (" je", "je ", "ní ", " ne", "se ", " se", "ou ", " na", "pro",
+           " pr", "ho ", "ých", "ení", " po", "at ", "kte", "sta", "ost",
+           "ter", "ně ", "ck", "ře", "ěl", "ův", " vy"),
+    "hu": (" az", "az ", "egy", " eg", "ek ", "nek", "tt ", "ett", "hog",
+           "ogy", "gy ", "nak", "ban", "ben", "ele", "sze", " sz", "meg",
+           " me", "ség", "ás ", "és ", "ett", "len", "tet"),
 }
 
 _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
@@ -90,6 +172,26 @@ def _script_counts(text: str) -> dict[str, int]:
     return counts
 
 
+def _latin_score(lang: str, sample: str, words: list[str]) -> float:
+    """Length-normalized weighted evidence for one Latin-script language."""
+    n_words = max(len(words), 1)
+    stop = _STOPWORDS[lang]
+    score = 2.0 * sum(1 for w in words if w in stop) / n_words
+
+    trigrams = _TRIGRAMS[lang]
+    n_chars = max(len(sample), 1)
+    tri_hits = sum(sample.count(t) for t in trigrams)
+    score += 1.0 * min(tri_hits / (n_chars / 4.0), 1.5)
+
+    for ch in _EXCLUSIVE_CHARS.get(lang, ""):
+        if ch in sample:
+            score += 0.6
+    for ch in _DIACRITIC_HINTS.get(lang, ""):
+        if ch in sample:
+            score += 0.04
+    return score
+
+
 @lru_cache(maxsize=1024)
 def detect_language(text: str) -> str:
     """Best-effort language code for `text`; defaults to 'en'."""
@@ -113,18 +215,11 @@ def detect_language(text: str) -> str:
             if top == "devanagari":
                 return "hi"
 
+    lowered = " " + sample.lower() + " "
     words = [w.lower() for w in _word_re.findall(sample)]
     if not words:
         return "en"
-    scores: dict[str, float] = {}
-    wordset = words  # keep duplicates — frequency is evidence
-    for lang, stop in _STOPWORDS.items():
-        hits = sum(1 for w in wordset if w in stop)
-        score = hits / len(wordset)
-        for ch in _DIACRITIC_HINTS.get(lang, ""):
-            if ch in sample:
-                score += 0.05
-        scores[lang] = score
+    scores = {lang: _latin_score(lang, lowered, words) for lang in _STOPWORDS}
     best = max(scores, key=scores.get)
     return best if scores[best] > 0 else "en"
 

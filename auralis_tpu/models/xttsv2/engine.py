@@ -19,6 +19,7 @@ import json
 import threading
 import math
 import os
+import time
 import uuid
 from functools import partial
 from pathlib import Path
@@ -31,7 +32,7 @@ from jax import lax
 
 from ...common import audio_io
 from ...common.logger import setup_logger
-from ...common.tracing import span
+from ...common.tracing import record as trace_record, span
 from ...common.output import TTSOutput
 from ...common.requests import TTSRequest
 from ...frontend.tokenizer import TTSTokenizer
@@ -184,10 +185,11 @@ class _VocodeBatcher:
         ns = jnp.asarray([it[1] for it in items], jnp.int32)
         starts = [eng._seg_slice_start(it[2]) for it in items]
         gs = jnp.concatenate([jnp.asarray(it[4], jnp.float32) for it in items])
-        wavs = eng._vocode_seg_fn()(
-            eng.core["hifigan"], rows, ns, jnp.asarray(starts, jnp.int32), gs
-        )
-        wavs = np.asarray(wavs).astype(np.float32) / 32767.0
+        with span("vocode.seg_device"):
+            wavs = eng._vocode_seg_fn()(
+                eng.core["hifigan"], rows, ns, jnp.asarray(starts, jnp.int32), gs
+            )
+            wavs = np.asarray(wavs).astype(np.float32) / 32767.0
         outs = []
         for i in range(n_real):
             offset = items[i][2] - starts[i]
@@ -1026,8 +1028,15 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         pf_per_token = self._total_pf(self.gpt_config.max_audio_tokens) / max(
             self.gpt_config.max_audio_tokens, 1
         )
+        t_consume = time.perf_counter()
+        first_wait_recorded = False
         while True:
             row, n, final = await queue.get()
+            if not first_wait_recorded:
+                trace_record(
+                    "phase2.first_snapshot_wait", time.perf_counter() - t_consume
+                )
+                first_wait_recorded = True
             if row is None:
                 # poison sentinel: the decode runner crashed — surface the
                 # exception carried by the future instead of hanging

@@ -69,7 +69,7 @@ class KVCache(NamedTuple):
 def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVCache:
     # T is rounded up to the flash-decode DMA chunk so the Pallas kernel can
     # tile it; the XLA path masks the padding.
-    from ...ops.attention import CHUNK
+    from ...ops.experimental.attention import CHUNK
 
     t_pad = -(-cfg.max_seq_len // CHUNK) * CHUNK
     shape = (
@@ -293,7 +293,7 @@ def gpt_decode_step(
         qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)  # each [S, D] flat
         if cfg.flash_decode:
-            from ...ops.attention import flash_decode_append_attention
+            from ...ops.experimental.attention import flash_decode_append_attention
 
             # fused in-kernel append + length-aware flash attention; the
             # caches pass through the kernel aliased (no scatter, no copies)

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common.logger import setup_logger
+from ..common.tracing import record
 from ..models.xttsv2.config import XTTSGPTConfig
 from .decode_loop import (
     DecodeState,
@@ -58,7 +59,7 @@ class _Pending:
     # segments while the sequence is still decoding (intra-chunk streaming —
     # the reference can only stream whole chunks, SURVEY.md §3.3)
     stream_queue: Optional[asyncio.Queue] = None
-    enqueue_time: float = field(default_factory=time.time)
+    enqueue_time: float = field(default_factory=time.perf_counter)
     # prompt embeddings staged on device by the RUNNER (head-of-queue only,
     # one upload overlapped with the current decode block — a burst of
     # enqueue-time uploads would starve the latency-critical status fetches
@@ -324,6 +325,7 @@ class DecodeEngine:
 
     def _insert(self, pending: _Pending, slot: int) -> None:
         cfg, opts = self.cfg, pending.options
+        record("decode.queue_wait", time.perf_counter() - pending.enqueue_time)
         embeds_dev = pending.embeds_dev
         if embeds_dev is None:
             embeds_dev = jnp.asarray(self._pad_prompt(pending), self._prompt_dtype())
@@ -502,6 +504,7 @@ class DecodeEngine:
                         np.asarray(await asyncio.to_thread(jax.device_get, packed))
                     )
                     st["status_wait_s"] += time.perf_counter() - t1
+                    record("decode.young_block", time.perf_counter() - t0)
                     self._push_stream_snapshots(done, n_gen)
                     if done.any():
                         self._harvest_done(done, n_gen)

@@ -9,7 +9,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from auralis_tpu.ops.attention import CHUNK, flash_decode_append_attention
+from auralis_tpu.ops.experimental.attention import CHUNK, flash_decode_append_attention
 
 
 def _reference(q, k_cache, v_cache, k_new, v_new, layer, write_pos):
@@ -69,7 +69,7 @@ def test_decode_step_flash_matches_dense():
     from auralis_tpu.models.xttsv2.gpt import (
         KVCache, gpt_decode_step, init_gpt_params, make_kv_cache,
     )
-    import auralis_tpu.ops.attention as attn_mod
+    import auralis_tpu.ops.experimental.attention as attn_mod
 
     cfg = tiny_test_config().gpt
     params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)

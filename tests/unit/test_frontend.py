@@ -36,6 +36,36 @@ def test_detect_language(text, lang):
     assert detect_language(text) == lang
 
 
+@pytest.mark.parametrize(
+    "text,lang",
+    [
+        # close pair es/pt — suffix morphology (-ción vs -ção) + exclusives (ã)
+        ("A informação chegou ao coração de todos.", "pt"),
+        ("La información llegó al corazón de todos.", "es"),
+        # close pair cs/pl — exclusive diacritics (ř vs ą/ę) decide
+        ("Přírodní řeka teče středem města.", "cs"),
+        ("Będę czekał na ciebie przy wejściu.", "pl"),
+        # remaining Latin languages of the 17
+        ("Gisteren heeft hij een nieuwe fiets voor zijn dochter gekocht.", "nl"),
+        ("Yarın sabah erkenden kalkıp çalışmaya başlayacağım.", "tr"),
+        ("Holnap reggel korán kelek és elkezdek dolgozni.", "hu"),
+        ("Wczoraj kupiłem nowy rower dla mojej córki.", "pl"),
+        ("Včera jsem koupil nové kolo pro svou dceru.", "cs"),
+        ("O rapaz não sabia o que fazer com tanto dinheiro.", "pt"),
+        # short stopword-free inputs: trigram/diacritic evidence only
+        ("Información meteorológica actualizada.", "es"),
+        ("Übernachtungsmöglichkeiten gesucht.", "de"),
+        ("Remerciements chaleureux.", "fr"),
+        ("Congratulations everyone!", "en"),
+    ],
+)
+def test_detect_language_hard_cases(text, lang):
+    """Short texts, stopword-free texts, and close language pairs — the cases
+    a pure stopword heuristic gets wrong (reference uses a trained
+    classifier, requests.py:96-113)."""
+    assert detect_language(text) == lang
+
+
 # ------------------------------------------------------------------ cleaners
 def test_expand_numbers_english():
     assert expand_numbers("I have 3 cats", "en") == "I have three cats"

@@ -17,7 +17,7 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from auralis_tpu.ops.attention import CHUNK, ragged_decode_attention
+from auralis_tpu.ops.experimental.attention import CHUNK, ragged_decode_attention
 
 
 def _quant_rows(x):

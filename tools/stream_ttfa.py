@@ -83,9 +83,36 @@ def main() -> None:
             await asyncio.to_thread(precompile)
         # warmup (compiles every program)
         await asyncio.gather(*(one(i) for i in range(2)))
+        from auralis_tpu.common.tracing import profile_summary
+
+        profile_summary(reset=True)  # isolate the timed window
+        getattr(engine, "decode_engine", None) and engine.decode_engine.stats.update(
+            {k: 0 if isinstance(v, int) else 0.0
+             for k, v in engine.decode_engine.stats.items()}
+        )
         return list(await asyncio.gather(*(one(i) for i in range(args.requests))))
 
     ttfas = tts.loop.run_until_complete(run())
+
+    # ---- per-stage TTFA budget (means over the timed window) ----------
+    from auralis_tpu.common.tracing import profile_summary
+
+    prof = profile_summary()
+    print("\nper-stage first-audio budget (mean ms over timed window):")
+    for name in (
+        "phase1.context",          # tokenize + conditioning + prompt build
+        "decode.queue_wait",       # enqueue -> slot insert (incl. prefill wait)
+        "decode.young_block",      # young 16-step block dispatch + status RTT
+        "phase2.first_snapshot_wait",  # consumer start -> first latent snapshot
+        "phase2.vocode_segment",   # seg submit -> audio bytes (batcher + device)
+        "vocode.seg_device",       # of which: device dispatch + fetch
+    ):
+        rec = prof.get(name)
+        if rec:
+            print(f"  {name:28s} mean {rec['mean_ms']:7.1f}  max {rec['max_ms']:7.1f}  n={rec['count']}")
+    de = getattr(engine, "decode_engine", None)
+    if de is not None:
+        print(f"  runner stats: {de.stats}")
     tts.loop.run_until_complete(tts.shutdown())
 
     ttfas_ms = sorted(x * 1e3 for x in ttfas)
