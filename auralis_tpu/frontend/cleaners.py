@@ -147,6 +147,7 @@ def expand_symbols(text: str, lang: str = "en") -> str:
 def expand_numbers(text: str, lang: str = "en") -> str:
     """Digit strings -> words: grouping separators, currency, decimals,
     ordinals, then plain cardinals (order matters)."""
+    lang = lang.split("-")[0]  # "zh-cn" -> "zh": never fall into the en branch
     if lang == "zh":
         return ZhTextNorm()(text)
     if lang in ("en", "ru"):
@@ -186,6 +187,7 @@ _CLEANED_LANGS = {"ar", "cs", "de", "en", "es", "fr", "hu", "it", "nl", "pl",
 
 
 def multilingual_cleaners(text: str, lang: str) -> str:
+    lang = lang.split("-")[0]  # accept "zh-cn" as well as the base code
     text = text.replace('"', "")
     if lang == "tr":
         text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")

@@ -1,9 +1,12 @@
 """Chinese numeral normalization: digits -> spoken hanzi.
 
 Capability parity with the reference's zh_num2words TextNorm (reference:
-components/tts/layers/xtts/zh_num2words.py) for the cases TTS text actually
-hits: integers, decimals, percentages, fractions, ranges, phone-like digit
-strings and years. Implemented fresh and compactly.
+components/tts/layers/xtts/zh_num2words.py) for the cases TTS text hits:
+integers, decimals, percentages, fractions, ranges, dates (年月日/号, the
+reference's Date class, zh_num2words.py:831-886), money amounts before
+currency units (Money, :889-910), mainland mobile/landline phone numbers
+(TelePhone, :784-810), measure-word quantities (normalize_nsw, :985-991),
+phone-like digit strings and years. Implemented fresh and compactly.
 """
 from __future__ import annotations
 
@@ -71,12 +74,43 @@ def decimal_to_hanzi(s: str) -> str:
     return int_to_hanzi(int(s))
 
 
-_PERCENT_RE = re.compile(r"(\d+(?:\.\d+)?)\s*%")
+_PERCENT_RE = re.compile(r"(\d+(?:\.\d+)?)\s*[%％]")
 _FRACTION_RE = re.compile(r"(\d+)\s*/\s*(\d+)")
 _RANGE_RE = re.compile(r"(\d+(?:\.\d+)?)\s*[-~—]\s*(\d+(?:\.\d+)?)")
+# Full dates: [YYYY年][M月[D日/号]] — year digit-by-digit, month/day cardinal
+# (reference Date.date2chntext, zh_num2words.py:864-886)
+_DATE_RE = re.compile(r"(?:(\d{2,4})\s*年)?\s*(\d{1,2})\s*月(?:\s*(\d{1,2})\s*([日号]))?")
 _YEAR_RE = re.compile(r"(\d{4})\s*年")
+# Money: number (+ 多/余/几 approximators) before a currency unit
+# (reference Money + CURRENCY_UNITS, zh_num2words.py:51,889-910)
+_MONEY_RE = re.compile(
+    r"(\d+(?:\.\d+)?)([多余几]?(?:千万|百万|[亿万千百])?(?:元|块|角|毛|分))"
+)
+# Mainland mobile (+86 optional, 1[3-9]xxxxxxxxx) and landline (0xx(x)-number)
+_MOBILE_RE = re.compile(r"(?:\+?86[\s-]?)?(1[3-9]\d{9})(?!\d)")
+_LANDLINE_RE = re.compile(r"(0(?:10|2[1-3]|[3-9]\d{2}))-(\d{7,8})(?!\d)")
+# Quantity before a common measure word reads as a cardinal
+# (reference COM_QUANTIFIERS, zh_num2words.py:52; compact high-frequency set)
+_QUANT_RE = re.compile(
+    r"(\d+(?:\.\d+)?)([多余几]?)"
+    r"(个|只|条|张|件|位|名|岁|人|次|遍|回|天|年|月|日|号|小时|分钟|秒|"
+    r"层|楼|米|公里|千米|厘米|毫米|公斤|千克|克|吨|斤|两|升|毫升|度|块|本|"
+    r"台|辆|架|艘|间|家|所|座|套|双|对"
+    r")"
+)
 _PHONE_RE = re.compile(r"\d{7,}")
 _NUMBER_RE = re.compile(r"\d+(?:,\d{3})*(?:\.\d+)?")
+
+
+def _date_sub(m: re.Match) -> str:
+    year, month, day, day_unit = m.group(1), m.group(2), m.group(3), m.group(4)
+    out = []
+    if year:
+        out.append(digits_to_hanzi(year) + "年")
+    out.append(int_to_hanzi(int(month)) + "月")
+    if day:
+        out.append(int_to_hanzi(int(day)) + day_unit)
+    return "".join(out)
 
 
 class TextNorm:
@@ -84,13 +118,27 @@ class TextNorm:
     its spoken hanzi form (same call signature as the reference class)."""
 
     def __call__(self, text: str) -> str:
+        # order matters: most-specific patterns first so the generic number
+        # rule never eats a date/money/phone prefix
+        text = re.sub(r"(?<=\d),(?=\d{3})", "", text)  # 1,234 -> 1234
+        text = _DATE_RE.sub(_date_sub, text)
         text = _YEAR_RE.sub(lambda m: digits_to_hanzi(m.group(1)) + "年", text)
+        text = _MOBILE_RE.sub(lambda m: digits_to_hanzi(m.group(1)), text)
+        text = _LANDLINE_RE.sub(
+            lambda m: digits_to_hanzi(m.group(1)) + digits_to_hanzi(m.group(2)), text
+        )
         text = _PERCENT_RE.sub(lambda m: "百分之" + decimal_to_hanzi(m.group(1)), text)
         text = _FRACTION_RE.sub(
             lambda m: int_to_hanzi(int(m.group(2))) + "分之" + int_to_hanzi(int(m.group(1))), text
         )
         text = _RANGE_RE.sub(
             lambda m: decimal_to_hanzi(m.group(1)) + "到" + decimal_to_hanzi(m.group(2)), text
+        )
+        text = _MONEY_RE.sub(
+            lambda m: decimal_to_hanzi(m.group(1)) + m.group(2), text
+        )
+        text = _QUANT_RE.sub(
+            lambda m: decimal_to_hanzi(m.group(1)) + m.group(2) + m.group(3), text
         )
         text = _PHONE_RE.sub(lambda m: digits_to_hanzi(m.group(0)), text)
         text = _NUMBER_RE.sub(lambda m: decimal_to_hanzi(m.group(0).replace(",", "")), text)

@@ -94,6 +94,37 @@ def test_chinese_numbers():
     assert norm("50%的人") == "百分之五十的人"
 
 
+@pytest.mark.parametrize(
+    "src,want",
+    [
+        # dates: year digit-by-digit, month/day cardinal (reference Date
+        # class, zh_num2words.py:864-886)
+        ("2024年3月15日开会", "二零二四年三月十五日开会"),
+        ("5月1号放假", "五月一号放假"),
+        ("1999年的事", "一九九九年的事"),
+        # money incl. 多-approximator and 万-scaled units (Money, :889-910)
+        ("这件衣服卖100多元", "这件衣服卖一百多元"),
+        ("票价3.5元", "票价三点五元"),
+        ("房价5万元一平", "房价五万元一平"),
+        # mainland mobile + landline read digit-by-digit (TelePhone, :784-810)
+        ("我的手机号是13812345678", "我的手机号是一三八一二三四五六七八"),
+        ("电话010-62345678", "电话零一零六二三四五六七八"),
+        # fractions flip numerator/denominator order; percent; ranges
+        ("涨了12%", "涨了百分之十二"),
+        ("比例是3/4", "比例是四分之三"),
+        ("温度20-25度之间", "温度二十到二十五度之间"),
+        # measure words + approximators; comma-grouped cardinals
+        ("买了3个苹果", "买了三个苹果"),
+        ("他30多岁了", "他三十多岁了"),
+        ("有1,234人参加", "有一千二百三十四人参加"),
+    ],
+)
+def test_chinese_textnorm_golden(src, want):
+    """Golden coverage for the reference TextNorm categories (dates, money,
+    phones, quantifiers — zh_num2words.py:831-991)."""
+    assert TextNorm()(src) == want
+
+
 # ------------------------------------------------------------------ sentence
 def test_split_into_sentences():
     sents = split_into_sentences("Hello world. How are you? I am fine!")

@@ -49,6 +49,10 @@ def test_cleaners_produce_text(lang):
     # digits must be expanded (or transliterated away) for cleaned languages
     if lang not in ("hi",):  # hi falls back to digit passthrough
         assert "1999" not in out or lang in ("ko",), f"{lang}: {out!r}"
+    if lang == "zh-cn":
+        # the full "zh-cn" code must hit the hanzi TextNorm, not the English
+        # num2words branch (regression: base-code stripping in cleaners)
+        assert "一九九九" in out, f"zh-cn digits read in English: {out!r}"
 
 
 @pytest.mark.parametrize("lang", sorted(SAMPLES))
