@@ -1,6 +1,9 @@
 """Micro-profile of every device program in the serving path on the current
 backend: decode step (by occupancy x length bucket), prefill insert, vocoder,
-conditioning, speaker encoder. Prints a table + implied RTF budget.
+conditioning, speaker encoder. Prints a table + implied RTF budget, and — per
+program — achieved HBM bandwidth and MXU utilization against the chip's
+theoretical peaks (XLA's compiled cost model supplies FLOPs and bytes
+accessed, so the numbers stay honest as the programs evolve).
 
 Usage: python tools/profile_components.py [--slots 32] [--steps 64]
 """
@@ -38,6 +41,51 @@ def timeit(fn, *args, n=5, warmup=1, **kw):
     return (time.perf_counter() - t0) / n, out
 
 
+# Theoretical peaks by device kind. v5e: 197 TFLOP/s bf16 (394 TOP/s int8),
+# 819 GB/s HBM (public TPU v5e spec). CPU rows are placeholders so the tool
+# still prints ratios when exercised off-chip.
+_PEAKS = {
+    "TPU v5 lite": {"flops": 197e12, "int8_ops": 394e12, "hbm_gbs": 819.0},
+    "TPU v5e": {"flops": 197e12, "int8_ops": 394e12, "hbm_gbs": 819.0},
+    "TPU v4": {"flops": 275e12, "int8_ops": 275e12, "hbm_gbs": 1228.0},
+    "cpu": {"flops": 2e12, "int8_ops": 4e12, "hbm_gbs": 100.0},
+}
+
+
+def _device_peaks():
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    for k, v in _PEAKS.items():
+        if k.lower() in str(kind).lower():
+            return kind, v
+    return kind, _PEAKS["cpu"]
+
+
+def program_cost(fn, *args, **kw):
+    """XLA's cost model for the compiled program: (flops, bytes_accessed).
+    Returns (None, None) when the backend doesn't expose cost analysis."""
+    try:
+        compiled = jax.jit(lambda *a: fn(*a, **kw)).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+    except Exception:
+        return None, None
+
+
+def roofline_str(dt_s: float, flops, bytes_acc, peaks) -> str:
+    """'2.1 TFLOP/s (1.1% MXU) | 640 GB/s (78% HBM)' for one timed program."""
+    if not flops and not bytes_acc:
+        return "(no cost model)"
+    parts = []
+    if flops:
+        fs = flops / dt_s
+        parts.append(f"{fs/1e12:5.2f} TFLOP/s ({100*fs/peaks['flops']:4.1f}% MXU)")
+    if bytes_acc:
+        bw = bytes_acc / dt_s / 1e9
+        parts.append(f"{bw:6.1f} GB/s ({100*bw*1e9/(peaks['hbm_gbs']*1e9):4.1f}% HBM)")
+    return " | ".join(parts)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=32)
@@ -54,7 +102,12 @@ def main():
     )
     from auralis_tpu.models.xttsv2.hifigan import hifi_decoder, init_hifigan_params
 
-    print(f"backend: {jax.default_backend()}  devices: {len(jax.devices())}")
+    kind, peaks = _device_peaks()
+    print(
+        f"backend: {jax.default_backend()}  devices: {len(jax.devices())}  "
+        f"kind: {kind}  peaks: {peaks['flops']/1e12:.0f} TFLOP/s bf16, "
+        f"{peaks['hbm_gbs']:.0f} GB/s HBM"
+    )
     cfg = XTTSConfig().gpt
     key = jax.random.PRNGKey(0)
     params = init_gpt_params(cfg, key, dtype=jnp.bfloat16)
@@ -83,7 +136,16 @@ def main():
         _drain(state.seq_lens)
         dt = (time.perf_counter() - t0) / 5
         prefill_ms[b] = dt * 1e3
-        print(f"prefill bucket {b}: {dt*1e3:8.2f} ms")
+        fl, by = program_cost(
+            lambda st: insert_sequence(
+                params, cfg, st, embeds, jnp.int32(blen), jnp.int32(0),
+                jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+                jnp.float32(5.0), jnp.bool_(True),
+            ),
+            state,
+        )
+        print(f"prefill bucket {b}: {dt*1e3:8.2f} ms   "
+              f"{roofline_str(dt, fl, by, peaks)}")
 
     # ---- decode: occupancy x len_bound ----
     print(f"\ndecode_steps ({args.steps} steps fused):")
@@ -122,9 +184,11 @@ def main():
             ms_per_step = dt * 1e3 / args.steps
             # audio throughput if all occ slots were live
             rtf = ms_per_step / 1e3 / (occ * sec_per_token)
+            fl, by = program_cost(step, state)
             print(
                 f"  occ {occ:3d} len_bound {bound:5d}: {ms_per_step:7.2f} ms/step"
-                f"  -> decode-only RTF {rtf:.4f}"
+                f"  -> decode-only RTF {rtf:.4f}   "
+                f"{roofline_str(dt, fl, by, peaks)}"
             )
 
     # ---- vocoder ----
@@ -141,9 +205,11 @@ def main():
         g = jnp.zeros((batch, 512), jnp.float32)
         dt, _ = timeit(voc, hp, lat, g, n=3)
         audio_s = batch * bucket * sec_per_token
+        fl, by = program_cost(voc, hp, lat, g)
         print(
             f"  bucket {bucket} batch {batch}: {dt*1e3:8.1f} ms"
-            f"  ({audio_s:.1f}s audio -> RTF {dt/audio_s:.4f})"
+            f"  ({audio_s:.1f}s audio -> RTF {dt/audio_s:.4f})   "
+            f"{roofline_str(dt, fl, by, peaks)}"
         )
 
 
