@@ -79,6 +79,11 @@ class XTTSGPTConfig:
     # the dense masked-XLA path (CPU tests, interpret-mode verification).
     flash_decode: bool = False
 
+    # Fused Pallas prefill attention (ops/prefill_attention.py): per-head
+    # VMEM-resident scores/softmax, no [H, T, T] HBM round-trip. Composes
+    # with kv_int8 (the cache write path is untouched).
+    prefill_flash: bool = False
+
     # int8 KV cache with per-(layer, slot, token) scales: halves decode's
     # KV-read bandwidth (the decode bottleneck — ~1.5x faster steps at the
     # 1024 length bound, measured tools/bench_decode_variants.py). Scores run

@@ -212,10 +212,22 @@ def gpt_prefill(
         q = q.reshape(t_pad, h_heads, head_dim)
         k = k.reshape(t_pad, h_heads, head_dim)
         v = v.reshape(t_pad, h_heads, head_dim)
-        scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None], scores, neg)
-        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("hqk,khd->qhd", probs, v, preferred_element_type=jnp.float32)
+        if cfg.prefill_flash:
+            from ...ops.prefill_attention import prefill_flash_attention
+
+            # fused per-head VMEM attention: no [H, T, T] HBM round-trip.
+            # Off-chip (CPU tests) the same kernel runs interpreted, so the
+            # flag stays testable hermetically.
+            ctx = prefill_flash_attention(
+                q, k, v, length, interpret=jax.default_backend() != "tpu"
+            )
+        else:
+            scores = jnp.einsum(
+                "qhd,khd->hqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            scores = jnp.where(mask[None], scores, neg)
+            probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("hqk,khd->qhd", probs, v, preferred_element_type=jnp.float32)
         ctx = ctx.reshape(t_pad, d).astype(x.dtype)
         x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])

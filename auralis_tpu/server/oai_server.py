@@ -162,6 +162,9 @@ def build_app(tts: TTS) -> web.Application:
 
 
 def start_tts_engine(args) -> TTS:
+    from ..common.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()  # boot compiles amortize across restarts
     tts = TTS(
         scheduler_max_concurrency=args.max_concurrency,
         vllm_logging_level=args.vllm_logging_level,

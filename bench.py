@@ -36,6 +36,10 @@ def build_engine():
     import jax
     import jax.numpy as jnp
 
+    from auralis_tpu.common.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+
     from auralis_tpu.models.xttsv2.config import XTTSConfig
     from auralis_tpu.models.xttsv2.engine import XTTSv2Engine
     from tokenizers import Tokenizer, models, trainers

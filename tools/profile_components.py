@@ -87,6 +87,9 @@ def roofline_str(dt_s: float, flops, bytes_acc, peaks) -> str:
 
 
 def main():
+    from auralis_tpu.common.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=32)
     ap.add_argument("--steps", type=int, default=32)
