@@ -197,6 +197,53 @@ class _VocodeBatcher:
         return outs
 
 
+class _SpecFirstSeg:
+    """Speculative first-segment vocode for a streaming chunk.
+
+    The decode runner calls `hook(row, n_claim)` dispatch-side after each
+    block (BEFORE the status fetch). Once the deterministic token count
+    crosses the first-emit threshold, the first segment's vocode is launched
+    immediately — its device work queues behind the decode block and its
+    host fetch overlaps the status round-trip, removing one full link RTT
+    from time-to-first-audio. The claim is exact unless the slot stopped
+    inside the block, so the phase-2 consumer only uses the result after a
+    status-backed snapshot confirms n >= claim (and discards it on an
+    early final). Emitted samples sit below total_pf(claim-2) - PAD_PF, the
+    same receptive-field holdback as the normal snapshot path, so the
+    waveform is bit-identical either way."""
+
+    __slots__ = ("engine", "g", "claim_n", "emit_pf", "task")
+
+    def __init__(self, engine: "XTTSv2Engine", speaker_embeddings):
+        self.engine = engine
+        self.g = speaker_embeddings
+        self.claim_n: Optional[int] = None
+        self.emit_pf = 0
+        self.task: Optional[asyncio.Task] = None
+
+    def hook(self, row, n_claim: int) -> bool:
+        eng = self.engine
+        high = max(0, eng._total_pf(max(0, n_claim - 2)) - PAD_PF)
+        if high < FIRST_SEG_PF:
+            return False  # not enough final samples yet; call again next block
+        emit = min(SEG_PF, high)
+        self.claim_n, self.emit_pf = n_claim, emit
+        loop = asyncio.get_running_loop()
+        self.task = loop.create_task(
+            eng._vocode_batcher.submit("seg", (row, n_claim, 0, emit, self.g))
+        )
+        # a discarded speculation must not surface "exception never retrieved"
+        self.task.add_done_callback(
+            lambda t: t.exception() if not t.cancelled() else None
+        )
+        return True
+
+    def discard(self) -> None:
+        if self.task is not None and not self.task.done():
+            self.task.cancel()
+        self.task = None
+
+
 class XTTSv2Engine(BaseAsyncTTSEngine):
     """Asynchronous XTTSv2 engine on the JAX decode loop."""
 
@@ -720,10 +767,16 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             # be vocoded while the chunk is still decoding (intra-chunk
             # streaming; the reference streams only whole chunks, §3.3)
             queue = asyncio.Queue() if request.stream else None
+            # speculative first-segment vocode: launched by the runner the
+            # moment enough tokens exist, overlapping the status round-trip
+            spec = _SpecFirstSeg(self, speaker_embeddings) if request.stream else None
             fut = asyncio.ensure_future(
-                self.decode_engine.generate(prompt, options, stream_queue=queue)
+                self.decode_engine.generate(
+                    prompt, options, stream_queue=queue,
+                    on_young_block=spec.hook if spec is not None else None,
+                )
             )
-            handles.append((fut, queue))
+            handles.append((fut, queue, spec))
             request_ids.append(f"{request.request_id}_{idx}")
         return handles, request_ids, speaker_embeddings, gpt_cond_latent
 
@@ -1004,9 +1057,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         snapshots while the chunk is still decoding; the concatenation of the
         emitted segments equals the non-streaming waveform exactly."""
         assert speaker_embeddings is not None, "XTTSv2 needs speaker embeddings"
-        future, queue = (
-            generator if isinstance(generator, tuple) else (generator, None)
-        )
+        if isinstance(generator, tuple):
+            future, queue, spec = (tuple(generator) + (None,))[:3]
+        else:
+            future, queue, spec = generator, None, None
         sr = self.hifi_config.output_sample_rate
 
         if queue is None:
@@ -1049,6 +1103,29 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 # interp; hold back a generator receptive field as well so
                 # every emitted sample is final
                 high = max(0, self._total_pf(max(0, n - 2)) - PAD_PF)
+            # speculative first segment: the runner may already have its
+            # vocode in flight (launched before this snapshot's status fetch)
+            if emitted_pf == 0 and spec is not None and spec.task is not None:
+                if n >= spec.claim_n:
+                    with span("phase2.vocode_segment"):
+                        wav = await spec.task
+                    emitted_pf = spec.emit_pf
+                    spec = None
+                    yield TTSOutput(
+                        array=wav, sample_rate=sr,
+                        start_time=request.start_time if request else None,
+                        token_length=int(round(emitted_pf / pf_per_token)),
+                    )
+                elif final:
+                    # slot stopped before the claim: latents past n are
+                    # stale — the speculation is garbage, emit normally
+                    spec.discard()
+                    spec = None
+                else:
+                    # status lags the claim (pipelined fetch): the spec is
+                    # valid but unconfirmed; wait for the next snapshot
+                    # rather than double-emitting the first segment
+                    continue
             threshold = FIRST_SEG_PF if emitted_pf == 0 else SEG_PF
             while (high - emitted_pf >= threshold) or (final and high > emitted_pf):
                 emit = min(SEG_PF, high - emitted_pf)

@@ -16,7 +16,7 @@ import asyncio
 import time
 from collections import deque
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,20 @@ class _Pending:
     # segments while the sequence is still decoding (intra-chunk streaming —
     # the reference can only stream whole chunks, SURVEY.md §3.3)
     stream_queue: Optional[asyncio.Queue] = None
+    # speculative dispatch hook (streaming): called dispatch-side right after
+    # each decode block with (device_latents_row, deterministic_token_count),
+    # BEFORE any status fetch — the engine uses it to launch the first
+    # segment's vocode so its host round-trip overlaps the status RTT
+    # instead of following it (the dominant term in time-to-first-audio on
+    # high-latency links). The count is exact unless the slot hit its stop
+    # token inside the block, so consumers must validate the claim against
+    # status-backed n before using the result. Return True to stop being
+    # called.
+    on_young_block: Optional[Callable[[jax.Array, int], bool]] = None
+    # host-side deterministic token count: 1 at insert, += n_steps per
+    # dispatched block (overestimates only after early stop)
+    n_host: int = 1
+    spec_done: bool = False
     enqueue_time: float = field(default_factory=time.perf_counter)
     # prompt embeddings staged on device by the RUNNER (head-of-queue only,
     # one upload overlapped with the current decode block — a burst of
@@ -141,6 +155,7 @@ class DecodeEngine:
         embeds: np.ndarray,
         options: SamplingOptions | None = None,
         stream_queue: Optional[asyncio.Queue] = None,
+        on_young_block: Optional[Callable[[jax.Array, int], bool]] = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Submit prompt embeddings [T, D]; resolves to (tokens, latents).
         With `stream_queue`, (latents_row, n) snapshots are pushed after every
@@ -160,7 +175,8 @@ class DecodeEngine:
         # right pacing on every link; the throughput benefit of pre-staging
         # measured zero (the loop, not the transfer, was the bottleneck).
         pending = _Pending(
-            embeds, length, options or SamplingOptions(), fut, stream_queue
+            embeds, length, options or SamplingOptions(), fut, stream_queue,
+            on_young_block=on_young_block,
         )
         self._queue.append(pending)
         self._ensure_runner()
@@ -471,10 +487,11 @@ class DecodeEngine:
             if self._slot_owner:
                 t0 = time.perf_counter()
                 n_steps = self._block_steps()
+                slot_bound = self._slot_bucket()
                 self.state, packed = decode_steps_status(
                     self.params, self.cfg, self.state,
                     n_steps=n_steps, len_bound=self._len_bucket(),
-                    slot_bound=self._slot_bucket(),
+                    slot_bound=slot_bound,
                 )
                 t1 = time.perf_counter()
                 st["blocks"] += 1
@@ -483,6 +500,26 @@ class DecodeEngine:
                 self._steps_total += n_steps
                 # overlap the next prompt upload with this block's compute
                 self._stage_queue_head()
+                # speculative hooks fire dispatch-side, BEFORE any status
+                # fetch: the engine's first-segment vocode then rides the
+                # same device queue as this block and its result fetch
+                # overlaps the status round-trip below
+                for slot, p in self._slot_owner.items():
+                    if slot_bound is not None and slot >= slot_bound:
+                        continue  # slot outside the stepped bucket: no steps
+                    p.n_host += n_steps
+                    if (
+                        p.on_young_block is not None
+                        and not p.spec_done
+                        and p.stream_queue is not None
+                    ):
+                        try:
+                            row = harvest_latents_device(self.state, slot)
+                            if p.on_young_block(row, p.n_host):
+                                p.spec_done = True
+                        except Exception:
+                            logger.exception("speculative hook failed; disabled")
+                            p.spec_done = True
                 young = n_steps < self.steps_per_sync
                 if pending_status is not None and not young:
                     # overlaps with the block just dispatched
