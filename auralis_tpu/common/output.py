@@ -74,6 +74,17 @@ class TTSOutput:
         return TTSOutput(array=combined, sample_rate=outputs[0].sample_rate)
 
     # ------------------------------------------------------------ conversions
+    def to_tensor(self):
+        """Waveform as a torch tensor when torch is importable, else the
+        numpy array (reference output.py:113-118 returns torch.Tensor; this
+        runtime has no torch dependency, so it stays optional)."""
+        try:
+            import torch
+
+            return torch.from_numpy(np.asarray(self.array))
+        except ImportError:  # pragma: no cover - torch is present in CI image
+            return np.asarray(self.array)
+
     def to_bytes(self, format: str = "wav", sample_width: int = 2) -> bytes:
         """Serialize to 'wav', raw 'pcm', or 'flac' (first-party C++ encoder,
         native/src/flac.cc). mp3/opus/aac need an external encoder and raise."""
