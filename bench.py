@@ -58,6 +58,12 @@ def build_engine():
     tokenizer = TTSTokenizer(tok)
 
     cfg = XTTSConfig()  # production architecture
+    if os.environ.get("BENCH_PREFILL_FLASH", "") == "1":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, gpt=dataclasses.replace(cfg.gpt, prefill_flash=True)
+        )
     engine = XTTSv2Engine.random_init(
         config=cfg,
         tokenizer=tokenizer,
