@@ -90,6 +90,37 @@ def test_gpt_prefill_flash_matches_dense_path():
     )
 
 
+def test_gpt_prefill_flash_composes_with_kv_int8():
+    """prefill_flash only replaces the context computation; the int8 KV
+    quantize/write path must be untouched (claim in config.py docstring)."""
+    import dataclasses
+
+    from auralis_tpu.models.xttsv2.config import tiny_test_config
+    from auralis_tpu.models.xttsv2.gpt import (
+        gpt_prefill, init_gpt_params, make_kv_cache,
+    )
+
+    base = dataclasses.replace(tiny_test_config().gpt, kv_int8=True)
+    cfg_flash = dataclasses.replace(base, prefill_flash=True)
+    params = init_gpt_params(base, jax.random.PRNGKey(0), dtype=jnp.float32)
+    embeds = jax.random.normal(jax.random.PRNGKey(4), (64, base.hidden_size), jnp.float32)
+
+    h_a, cache_a = gpt_prefill(
+        params, base, embeds, jnp.int32(40), jnp.int32(0),
+        make_kv_cache(base, 2, jnp.int8),
+    )
+    h_b, cache_b = gpt_prefill(
+        params, cfg_flash, embeds, jnp.int32(40), jnp.int32(0),
+        make_kv_cache(base, 2, jnp.int8),
+    )
+    np.testing.assert_allclose(np.asarray(h_b), np.asarray(h_a), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(cache_b.k), np.asarray(cache_a.k))
+    np.testing.assert_array_equal(np.asarray(cache_b.v), np.asarray(cache_a.v))
+    np.testing.assert_allclose(
+        np.asarray(cache_b.k_scale), np.asarray(cache_a.k_scale), rtol=1e-6, atol=0
+    )
+
+
 def test_padding_rows_do_not_affect_real_rows():
     """Garbage K/V beyond `length` must not leak into any real row's output
     (the length mask is the correctness boundary for bucket padding)."""
