@@ -565,19 +565,32 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         cfg = config or tiny_test_config()
         g = cfg.gpt
         keys = jax.random.split(jax.random.PRNGKey(seed), 6)
-        params = init_gpt_params(g, keys[0], dtype=dtype)
+        # each module init runs under ONE jit: eager init emits one tiny XLA
+        # program per tensor (hundreds at full size), and on remote-compile
+        # rigs every program costs a compile-server round-trip — fusing cuts
+        # full-size random boot from hundreds of compiles to five
+        params = jax.jit(lambda k: init_gpt_params(g, k, dtype=dtype))(keys[0])
         core = {
-            "cond_encoder": init_conditioning_encoder_params(
-                keys[1], spec_dim=80, embed_dim=g.hidden_size, dtype=dtype
-            ),
-            "perceiver": init_perceiver_params(
-                keys[2], dim=g.hidden_size, num_latents=g.num_cond_latents, dtype=dtype
-            ),
-            "speaker_encoder": init_speaker_encoder_params(keys[3], dtype=dtype),
-            "hifigan": init_hifigan_params(
-                keys[4], in_channels=g.hidden_size, cond_channels=cfg.d_vector_dim,
-                upsample_initial=64 if g.hidden_size <= 128 else 512, dtype=dtype,
-            ),
+            "cond_encoder": jax.jit(
+                lambda k: init_conditioning_encoder_params(
+                    k, spec_dim=80, embed_dim=g.hidden_size, dtype=dtype
+                )
+            )(keys[1]),
+            "perceiver": jax.jit(
+                lambda k: init_perceiver_params(
+                    k, dim=g.hidden_size, num_latents=g.num_cond_latents, dtype=dtype
+                )
+            )(keys[2]),
+            "speaker_encoder": jax.jit(
+                lambda k: init_speaker_encoder_params(k, dtype=dtype)
+            )(keys[3]),
+            "hifigan": jax.jit(
+                lambda k: init_hifigan_params(
+                    k, in_channels=g.hidden_size, cond_channels=cfg.d_vector_dim,
+                    upsample_initial=64 if g.hidden_size <= 128 else 512,
+                    dtype=dtype,
+                )
+            )(keys[4]),
             "mel_stats": jnp.ones((80,), jnp.float32),
         }
         return cls(cfg, g, params=params, core=core, tokenizer=tokenizer,
