@@ -97,7 +97,7 @@ class _VocodeBatcher:
 
     def __init__(self, engine: "XTTSv2Engine"):
         self.engine = engine
-        self._pending = {"row": [], "seg": []}
+        self._pending = {"row": [], "seg": [], "seg_first": []}
         self._task: Optional[asyncio.Task] = None
         self._inflight: Optional[asyncio.Semaphore] = None
         self._loop: Optional[asyncio.AbstractEventLoop] = None
@@ -108,7 +108,7 @@ class _VocodeBatcher:
             # the engine outlives individual asyncio.run loops (sync API);
             # stale drain tasks and closed-loop futures belong to the dead
             # loop and can never resolve — start fresh on the new one
-            self._pending = {"row": [], "seg": []}
+            self._pending = {"row": [], "seg": [], "seg_first": []}
             self._task = None
             self._loop = loop
         fut: asyncio.Future = loop.create_future()
@@ -131,8 +131,11 @@ class _VocodeBatcher:
                     await asyncio.wait(flights, return_when=asyncio.FIRST_COMPLETED)
                 continue
             await self._inflight.acquire()
-            # segments first: they gate time-to-first-audio
-            kind = "seg" if self._pending["seg"] else "row"
+            # first segments gate time-to-first-audio, then mid-stream
+            # segments, then whole-row vocodes
+            kind = next(
+                k for k in ("seg_first", "seg", "row") if self._pending[k]
+            )
             batch = self._pending[kind][: self.MAX_BATCH]
             del self._pending[kind][: len(batch)]
             flights.append(loop.create_task(self._fly(kind, batch)))
@@ -180,6 +183,17 @@ class _VocodeBatcher:
             return [
                 wavs[i, : eng._true_wav_len(items[i][1])] for i in range(n_real)
             ]
+        if kind == "seg_first":
+            # (row, n_mask, g): fixed [0, FIRST_SEG_PF) emission through the
+            # small head program — ~3x less generator work than the full
+            # segment window, sized for the time-to-first-audio path
+            rows = jnp.stack([it[0] for it in items])
+            ns = jnp.asarray([it[1] for it in items], jnp.int32)
+            gs = jnp.concatenate([jnp.asarray(it[2], jnp.float32) for it in items])
+            with span("vocode.seg_first_device"):
+                wavs = eng._vocode_seg_first_fn()(eng.core["hifigan"], rows, ns, gs)
+                wavs = np.asarray(wavs).astype(np.float32) / 32767.0
+            return [wavs[i, : FIRST_SEG_PF * 256] for i in range(n_real)]
         # seg: (row, n_mask, emit_start_pf, emit_count_pf, g)
         rows = jnp.stack([it[0] for it in items])
         ns = jnp.asarray([it[1] for it in items], jnp.int32)
@@ -226,11 +240,13 @@ class _SpecFirstSeg:
         high = max(0, eng._total_pf(max(0, n_claim - 2)) - PAD_PF)
         if high < FIRST_SEG_PF:
             return False  # not enough final samples yet; call again next block
-        emit = min(SEG_PF, high)
-        self.claim_n, self.emit_pf = n_claim, emit
+        # emit exactly FIRST_SEG_PF through the dedicated small head program
+        # (~3x less generator work than the generic segment window); whatever
+        # extra is already final shifts into the next (pipelined) segment
+        self.claim_n, self.emit_pf = n_claim, FIRST_SEG_PF
         loop = asyncio.get_running_loop()
         self.task = loop.create_task(
-            eng._vocode_batcher.submit("seg", (row, n_claim, 0, emit, self.g))
+            eng._vocode_batcher.submit("seg_first", (row, n_claim, self.g))
         )
         # a discarded speculation must not surface "exception never retrieved"
         self.task.add_done_callback(
@@ -1030,6 +1046,50 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
             self._vocoder_jits["seg"] = run
         return self._vocoder_jits["seg"]
+
+    def _vocode_seg_first_fn(self):
+        """Jitted FIRST-segment vocoder: emits [0, FIRST_SEG_PF) from a small
+        head window. The interp index map is length-independent (the source
+        index of output frame j is (j+0.5)/scale-0.5 regardless of total
+        length, ops/interpolate.py), so interping only the first HEAD latents
+        and slicing [0, FIRST_SEG_PF + PAD_PF) is bit-identical to the
+        full-row program's leading frames; PAD_PF >= the generator's
+        receptive field keeps the emitted center exact. ~3x less generator
+        work than the generic segment window — this program sits on the
+        time-to-first-audio critical path (speculative dispatch)."""
+        if "seg_first" not in self._vocoder_jits:
+            from .hifigan import hifigan_generator
+            from ...ops.interpolate import interp_linear_scale
+
+            cfg = self.hifi_config
+            t_max = self.gpt_config.max_audio_tokens
+            # head latents: enough to cover the slice window after both
+            # interps with margin (window/pf_per_token + interp locality)
+            head = min(64, t_max)
+            slice_len = FIRST_SEG_PF + PAD_PF
+
+            @jax.jit
+            def run(hp, rows, ns, gs):
+                rows = rows[:, :head]
+                rows = jnp.where(
+                    jnp.arange(head)[None, :, None] < ns[:, None, None],
+                    rows, 0.0,
+                )
+                z = jnp.swapaxes(rows.astype(jnp.float32), 1, 2)
+                z = interp_linear_scale(
+                    z, cfg.gpt_code_stride_len / cfg.output_hop_length
+                )
+                if cfg.output_sample_rate != cfg.input_sample_rate:
+                    z = interp_linear_scale(
+                        z, cfg.output_sample_rate / cfg.input_sample_rate
+                    )
+                z = z[..., :slice_len]
+                wav = hifigan_generator(hp, jnp.swapaxes(z, 1, 2), gs,
+                                        packed_resblocks=self._packed_resblocks)
+                return jnp.round(wav * 32767.0).astype(jnp.int16)
+
+            self._vocoder_jits["seg_first"] = run
+        return self._vocoder_jits["seg_first"]
 
     def _seg_slice_start(self, emit_start_pf: int) -> int:
         slice_len = PAD_PF + SEG_PF + PAD_PF

@@ -35,6 +35,11 @@ def main() -> None:
     from auralis_tpu.common import audio_io
 
     if args.tiny:
+        # force CPU: the site hook pins jax_platforms to the TPU and ignores
+        # the JAX_PLATFORMS env var — a "CPU smoke" must not land on the chip
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
         sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
         from helpers import build_tiny_engine
 
