@@ -29,7 +29,17 @@ def main() -> None:
     # worker (reference semantics), so their "TTFA" includes queue time.
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke)")
+    ap.add_argument(
+        "--decode-slots", type=int, default=None,
+        help="decode_slots for the engine (default: bench's throughput "
+        "config, 64; a latency deployment at concurrency 8 would run 16 — "
+        "4x less dead-slot KV read per young block)",
+    )
     args = ap.parse_args()
+    import os
+
+    if args.decode_slots is not None:
+        os.environ["BENCH_DECODE_SLOTS"] = str(args.decode_slots)
 
     from auralis_tpu import TTS, TTSRequest
     from auralis_tpu.common import audio_io
@@ -110,6 +120,7 @@ def main() -> None:
         "decode.young_block",      # young 16-step block dispatch + status RTT
         "phase2.first_snapshot_wait",  # consumer start -> first latent snapshot
         "phase2.vocode_segment",   # seg submit -> audio bytes (batcher + device)
+        "vocode.seg_first_device",  # speculative first-seg program (TTFA path)
         "vocode.seg_device",       # of which: device dispatch + fetch
     ):
         rec = prof.get(name)
