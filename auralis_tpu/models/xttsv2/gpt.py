@@ -262,6 +262,86 @@ def gpt_prefill(
     return h_last, cache
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("cache",))
+def gpt_prefill_batched(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    embeds: jax.Array,  # [K, T_pad, D] — a BURST of prompts, zero-padded
+    lengths: jax.Array,  # [K] int32 true prompt lengths (0 = padding lane)
+    slots: jax.Array,  # [K] int32 target cache slots; >= num_slots = dropped
+    cache: KVCache,
+) -> tuple[jax.Array, KVCache]:
+    """Burst prefill: K prompts through all layers in ONE program, so the
+    0.86 GiB of weights stream from HBM once instead of K times (a 16-chunk
+    burst was spending ~100 ms of pure repeated weight reads before its
+    first decode block — the dominant unexplained term in the measured
+    time-to-first-audio budget). Cache writes scatter to `slots` with
+    out-of-bounds lanes dropped, so callers pad a burst to the program's K
+    bucket with slot=num_slots. Returns last real hidden states [K, D]."""
+    kb, t_pad, d = embeds.shape
+    h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+
+    pos = jnp.arange(t_pad)
+    # [K, T, T]: causal AND key within each prompt's real length
+    mask = (pos[None, None, :] <= pos[None, :, None]) & (
+        pos[None, None, :] < lengths[:, None, None]
+    )
+    neg = jnp.finfo(jnp.float32).min
+
+    def body(layer, carry):
+        x, cache = carry  # x [K, T, D]
+        bp = _block_params(params["blocks"], layer)
+        xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
+        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])  # [K, T, 3D]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(kb, t_pad, h_heads, head_dim)
+        k = k.reshape(kb, t_pad, h_heads, head_dim)
+        v = v.reshape(kb, t_pad, h_heads, head_dim)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        scores = jnp.where(mask[:, None], scores, neg)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        )
+        ctx = ctx.reshape(kb, t_pad, d).astype(x.dtype)
+        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+        xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+        y = _dot(xn, bp["fc_w"], bp["fc_b"])
+        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+
+        k_flat = k.reshape(kb, t_pad, d)
+        v_flat = v.reshape(kb, t_pad, d)
+        if cfg.kv_int8:
+            k_q, k_s = _quantize_rows(k_flat)
+            v_q, v_s = _quantize_rows(v_flat)
+            cache = KVCache(
+                cache.k.at[layer, slots, :t_pad].set(k_q, mode="drop"),
+                cache.v.at[layer, slots, :t_pad].set(v_q, mode="drop"),
+                cache.k_scale.at[layer, slots, :t_pad].set(k_s, mode="drop"),
+                cache.v_scale.at[layer, slots, :t_pad].set(v_s, mode="drop"),
+            )
+        else:
+            cache = KVCache(
+                cache.k.at[layer, slots, :t_pad].set(
+                    k_flat.astype(cache.k.dtype), mode="drop"
+                ),
+                cache.v.at[layer, slots, :t_pad].set(
+                    v_flat.astype(cache.v.dtype), mode="drop"
+                ),
+            )
+        return x, cache
+
+    x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
+    h_last = jnp.take_along_axis(
+        x, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1
+    )[:, 0]
+    return h_last, cache
+
+
 # ------------------------------------------------------------- decode step
 
 

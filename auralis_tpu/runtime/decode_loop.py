@@ -20,7 +20,14 @@ import numpy as np
 from jax import lax
 
 from ..models.xttsv2.config import XTTSGPTConfig
-from ..models.xttsv2.gpt import KVCache, gpt_decode_step, gpt_prefill, heads, make_kv_cache
+from ..models.xttsv2.gpt import (
+    KVCache,
+    gpt_decode_step,
+    gpt_prefill,
+    gpt_prefill_batched,
+    heads,
+    make_kv_cache,
+)
 from .sampler import SamplingState, init_sampling_state, sample_tokens
 
 PREFILL_BUCKETS = (64, 128, 256, 512)
@@ -172,6 +179,78 @@ def insert_sequence(
     )
     latent_full = jnp.where(onehot[:, None], latent, 0.0)
     return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, onehot, rng)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_sequences(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    state: DecodeState,
+    embeds: jax.Array,  # [K, T_pad, D] burst of prompts (zero-padded)
+    lengths: jax.Array,  # [K] i32 true lengths; 0 on padding lanes
+    slots: jax.Array,  # [K] i32 target slots; num_slots on padding lanes
+    temperature: jax.Array,  # [K]
+    top_p: jax.Array,  # [K]
+    top_k: jax.Array,  # [K]
+    repetition_penalty: jax.Array,  # [K]
+    do_sample: jax.Array,  # [K]
+) -> DecodeState:
+    """Burst insert: prefill K prompts in ONE program (weights stream from
+    HBM once, not K times — see gpt_prefill_batched) and activate all K
+    slots. Padding lanes carry slot == num_slots: every scatter here uses
+    mode="drop", so they touch nothing. Sampling note: one rng split covers
+    the whole burst (K sequential inserts would burn K splits), so sampled
+    tokens differ from the sequential path — greedy decoding is identical,
+    which is what the equality tests pin."""
+    s = state.seq_lens.shape[0]
+    khot = jnp.zeros((s,), bool).at[slots].set(True, mode="drop")
+
+    h_last, cache = gpt_prefill_batched(
+        params, cfg, embeds, lengths, slots, state.cache
+    )
+    logits, latent = heads(params, h_last)  # [K, V], [K, D]
+
+    sampling = SamplingState(
+        temperature=state.sampling.temperature.at[slots].set(
+            temperature, mode="drop"
+        ),
+        top_p=state.sampling.top_p.at[slots].set(top_p, mode="drop"),
+        top_k=state.sampling.top_k.at[slots].set(top_k, mode="drop"),
+        repetition_penalty=state.sampling.repetition_penalty.at[slots].set(
+            repetition_penalty, mode="drop"
+        ),
+        do_sample=state.sampling.do_sample.at[slots].set(do_sample, mode="drop"),
+        seen=jnp.where(khot[:, None], False, state.sampling.seen),
+    )
+
+    rng, sub = jax.random.split(state.rng)
+    logits_s = jnp.zeros((s, logits.shape[-1]), logits.dtype).at[slots].set(
+        logits, mode="drop"
+    )
+    tokens, sampling = sample_tokens(logits_s, sampling, sub)
+    # only the inserted slots' samples matter; protect other slots' seen-masks
+    sampling = sampling._replace(
+        seen=jnp.where(khot[:, None], sampling.seen, state.sampling.seen)
+    )
+
+    lengths_s = jnp.zeros((s,), jnp.int32).at[slots].set(lengths, mode="drop")
+    state = DecodeState(
+        cache=cache,
+        sampling=sampling,
+        seq_lens=jnp.where(khot, lengths_s - 1, state.seq_lens),
+        audio_pos=jnp.where(khot, 0, state.audio_pos),
+        last_token=state.last_token,
+        active=state.active | khot,
+        done=state.done & ~khot,
+        tokens_buf=state.tokens_buf,
+        latents_buf=state.latents_buf,
+        n_generated=jnp.where(khot, 0, state.n_generated),
+        rng=rng,
+    )
+    latent_full = jnp.zeros((s, latent.shape[-1]), latent.dtype).at[slots].set(
+        latent, mode="drop"
+    )
+    return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, khot, rng)
 
 
 def _slice_state(state: DecodeState, sb: int) -> DecodeState:

@@ -31,6 +31,7 @@ from .decode_loop import (
     harvest_latents_device,
     init_decode_state,
     insert_sequence,
+    insert_sequences,
     prefill_bucket,
     release_slots,
     unpack_status,
@@ -97,6 +98,7 @@ class DecodeEngine:
         device_latents: bool = False,
         slot_bucketing: bool = False,
         mesh=None,
+        stream_block_steps: Optional[int] = None,
     ):
         if mesh is not None:
             # tensor/data-parallel serving: place the GPT pytree and decode
@@ -113,6 +115,10 @@ class DecodeEngine:
         self.cfg = cfg
         self.num_slots = num_slots
         self.steps_per_sync = steps_per_sync
+        # young-block size: engines pass the smallest step count that lets
+        # the first-segment speculation fire after ONE block (pf math);
+        # default is the conservative class constant
+        self.stream_block_steps = stream_block_steps or self.STREAM_BLOCK_STEPS
         # slot_bucketing: step only the first half of the slot array when
         # every live slot sits below num_slots/2 (insertion is lowest-free,
         # so sustained LOW-occupancy serving clusters there) — 1.56x faster
@@ -272,7 +278,7 @@ class DecodeEngine:
                 if meta is not None and (
                     self._steps_total - meta["steps_at_insert"]
                 ) < self.STREAM_YOUNG_STEPS:
-                    return min(self.STREAM_BLOCK_STEPS, self.steps_per_sync)
+                    return min(self.stream_block_steps, self.steps_per_sync)
         return self.steps_per_sync
 
     def _slot_bucket(self) -> int | None:
@@ -372,6 +378,60 @@ class DecodeEngine:
             "steps_at_insert": self._steps_total,
         }
 
+    _INSERT_K_BUCKETS = (2, 4, 8)
+
+    def _insert_batch(self, pairs: list[tuple[_Pending, int]], bucket: int) -> None:
+        """Burst insert: ONE batched prefill program for all `pairs` (same
+        prompt bucket), so the GPT weights stream from HBM once instead of
+        once per chunk — a 16-chunk request burst was paying ~100 ms of
+        repeated weight reads before its first decode block. Lanes pad to a
+        K bucket with slot == num_slots, which every scatter drops."""
+        kb = next(b for b in self._INSERT_K_BUCKETS if b >= len(pairs))
+        dt = self._prompt_dtype()
+        rows = []
+        for pending, _slot in pairs:
+            record("decode.queue_wait", time.perf_counter() - pending.enqueue_time)
+            dev = pending.embeds_dev
+            rows.append(
+                dev if dev is not None
+                else jnp.asarray(self._pad_prompt(pending), dt)
+            )
+            pending.embeds_dev = None  # prefill consumes it; release the pin
+        embeds = jnp.stack(rows)
+        if kb > len(pairs):
+            embeds = jnp.concatenate(
+                [embeds, jnp.zeros((kb - len(pairs),) + embeds.shape[1:], dt)]
+            )
+
+        def vec(fn, fill):
+            vals = [fn(p.options) for p, _ in pairs]
+            return np.asarray(vals + [fill] * (kb - len(pairs)))
+
+        self.state = insert_sequences(
+            self.params,
+            self.cfg,
+            self.state,
+            embeds,
+            jnp.asarray(
+                [p.length for p, _ in pairs] + [0] * (kb - len(pairs)), jnp.int32
+            ),
+            jnp.asarray(
+                [s for _, s in pairs] + [self.num_slots] * (kb - len(pairs)),
+                jnp.int32,
+            ),
+            jnp.asarray(vec(lambda o: o.temperature, 1.0), jnp.float32),
+            jnp.asarray(vec(lambda o: o.top_p, 1.0), jnp.float32),
+            jnp.asarray(vec(lambda o: o.top_k, 1), jnp.int32),
+            jnp.asarray(vec(lambda o: o.repetition_penalty, 1.0), jnp.float32),
+            jnp.asarray(vec(lambda o: o.do_sample, False), bool),
+        )
+        for pending, slot in pairs:
+            self._slot_owner[slot] = pending
+            self._slot_meta[slot] = {
+                "prompt_len": pending.length,
+                "steps_at_insert": self._steps_total,
+            }
+
     def _push_stream_snapshots(self, done: np.ndarray, n_generated: np.ndarray) -> None:
         """Give every still-running streaming slot a fresh (latents_row, n)
         view. The gather makes an independent device buffer; n comes from the
@@ -467,9 +527,26 @@ class DecodeEngine:
             t0 = time.perf_counter()
             free = self._free_slots()
             inserted = False
+            to_insert: list[tuple[_Pending, int]] = []
             while free and self._queue:
-                self._insert(self._queue.popleft(), free.pop(0))
+                to_insert.append((self._queue.popleft(), free.pop(0)))
+            if to_insert:
                 inserted = True
+                # group by prompt bucket; >=2 per bucket go through the
+                # batched prefill (one weight stream for the whole burst)
+                by_bucket: dict[int, list] = {}
+                for pending, slot in to_insert:
+                    b = prefill_bucket(pending.length, self.cfg.max_seq_len)
+                    by_bucket.setdefault(b, []).append((pending, slot))
+                for b, pairs in by_bucket.items():
+                    while pairs:
+                        chunk, pairs = pairs[: self._INSERT_K_BUCKETS[-1]], pairs[
+                            self._INSERT_K_BUCKETS[-1]:
+                        ]
+                        if len(chunk) == 1:
+                            self._insert(*chunk[0])
+                        else:
+                            self._insert_batch(chunk, b)
             if inserted:
                 pending_status = None  # state advanced; old status is stale
             st["insert_s"] += time.perf_counter() - t0
@@ -498,10 +575,9 @@ class DecodeEngine:
                 st["dispatch_s"] += t1 - t0
                 st["occupancy_sum"] += len(self._slot_owner)
                 self._steps_total += n_steps
-                # overlap the next prompt upload with this block's compute
-                self._stage_queue_head()
                 # speculative hooks fire dispatch-side, BEFORE any status
-                # fetch: the engine's first-segment vocode then rides the
+                # fetch (and before prompt staging contends for the host
+                # link): the engine's first-segment vocode then rides the
                 # same device queue as this block and its result fetch
                 # overlaps the status round-trip below
                 for slot, p in self._slot_owner.items():
@@ -520,6 +596,8 @@ class DecodeEngine:
                         except Exception:
                             logger.exception("speculative hook failed; disabled")
                             p.spec_done = True
+                # overlap the next prompt upload with this block's compute
+                self._stage_queue_head()
                 young = n_steps < self.steps_per_sync
                 if pending_status is not None and not young:
                     # overlaps with the block just dispatched
