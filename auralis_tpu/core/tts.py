@@ -267,9 +267,13 @@ class TTS:
         )
 
         async def _run():
+            # a burst (not a pair) of concurrent requests: the runner's
+            # batched prefill compiles one program per (K bucket, prompt
+            # bucket), so warmup must hit the K buckets {2,4,8} a production
+            # burst will use — 8 concurrent long-text requests cover them
             reqs = [
                 TTSRequest(text=text, speaker_files=[voice_path], language="en")
-                for _ in range(2)
+                for _ in range(8)
             ]
             await asyncio.gather(*(self.generate_speech_async(r) for r in reqs))
             stream_req = TTSRequest(

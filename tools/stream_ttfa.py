@@ -96,8 +96,9 @@ def main() -> None:
         precompile = getattr(engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             await asyncio.to_thread(precompile)
-        # warmup (compiles every program)
-        await asyncio.gather(*(one(i) for i in range(2)))
+        # warmup (compiles every program) — run a full-size burst so the
+        # batched-insert K buckets the timed burst will hit are already hot
+        await asyncio.gather(*(one(i) for i in range(max(2, args.concurrency))))
         from auralis_tpu.common.tracing import profile_summary
 
         profile_summary(reset=True)  # isolate the timed window
