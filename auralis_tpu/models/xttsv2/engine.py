@@ -374,12 +374,23 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             decode_slots or max(2, 2 * max_concurrency),
             slots_explicit=decode_slots is not None,
         )
+        # smallest young-block size that lets the first-segment speculation
+        # fire after ONE block: after k steps a slot holds n = k+1 tokens and
+        # the emit-safe frame count is total_pf(n-2) - PAD_PF (receptive-
+        # field holdback) — find the first k where that reaches FIRST_SEG_PF
+        stream_block_steps = 1
+        while (
+            self._total_pf(max(0, stream_block_steps - 1)) - PAD_PF < FIRST_SEG_PF
+            and stream_block_steps < self.gpt_config.max_audio_tokens
+        ):
+            stream_block_steps += 1
         self.decode_engine = DecodeEngine(
             params,
             gpt_config,
             num_slots=self.decode_slots,
             cache_dtype=cache_dtype,
             steps_per_sync=steps_per_sync,
+            stream_block_steps=stream_block_steps,
             seed=seed,
             device_latents=True,  # vocoder reads latents straight from HBM
             slot_bucketing=slot_bucketing,

@@ -315,23 +315,40 @@ def gpt_prefill_batched(
 
         k_flat = k.reshape(kb, t_pad, d)
         v_flat = v.reshape(kb, t_pad, d)
+
+        # K static dynamic_update_slice's, NOT one generalized scatter: a
+        # slot-indexed scatter on the [L, S, T, D] cache lowers to a slow
+        # general scatter (measured ~7% e-book RTF), while per-lane row
+        # update-slices are the same cheap writes the single-slot prefill
+        # uses. Padding lanes (slot >= num_slots) clamp to their target and
+        # write back what was already there (read-modify-write no-op).
+        num_slots = cache.k.shape[1]
+
+        def write_rows(buf, rows_b, lane_shape_prefix=()):
+            for i in range(kb):
+                tgt = jnp.minimum(slots[i], num_slots - 1)
+                valid = slots[i] < num_slots
+                start = (layer, tgt) + (0,) * (buf.ndim - 2)
+                cur = lax.dynamic_slice(
+                    buf, start, (1, 1) + rows_b.shape[1:]
+                )
+                upd = jnp.where(valid, rows_b[i][None, None], cur)
+                buf = lax.dynamic_update_slice(buf, upd, start)
+            return buf
+
         if cfg.kv_int8:
             k_q, k_s = _quantize_rows(k_flat)
             v_q, v_s = _quantize_rows(v_flat)
             cache = KVCache(
-                cache.k.at[layer, slots, :t_pad].set(k_q, mode="drop"),
-                cache.v.at[layer, slots, :t_pad].set(v_q, mode="drop"),
-                cache.k_scale.at[layer, slots, :t_pad].set(k_s, mode="drop"),
-                cache.v_scale.at[layer, slots, :t_pad].set(v_s, mode="drop"),
+                write_rows(cache.k, k_q),
+                write_rows(cache.v, v_q),
+                write_rows(cache.k_scale, k_s),
+                write_rows(cache.v_scale, v_s),
             )
         else:
             cache = KVCache(
-                cache.k.at[layer, slots, :t_pad].set(
-                    k_flat.astype(cache.k.dtype), mode="drop"
-                ),
-                cache.v.at[layer, slots, :t_pad].set(
-                    v_flat.astype(cache.v.dtype), mode="drop"
-                ),
+                write_rows(cache.k, k_flat.astype(cache.k.dtype)),
+                write_rows(cache.v, v_flat.astype(cache.v.dtype)),
             )
         return x, cache
 

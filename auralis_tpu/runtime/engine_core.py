@@ -539,11 +539,19 @@ class DecodeEngine:
                     b = prefill_bucket(pending.length, self.cfg.max_seq_len)
                     by_bucket.setdefault(b, []).append((pending, slot))
                 for b, pairs in by_bucket.items():
+                    # exact-fill K buckets only, remainder sequential: a
+                    # padded lane costs real prefill FLOPs (at bucket 256
+                    # one lane's matmuls ~= the whole weight stream), so
+                    # padding erases the batching win on steady-state
+                    # trickle inserts; bursts still batch fully
                     while pairs:
-                        chunk, pairs = pairs[: self._INSERT_K_BUCKETS[-1]], pairs[
-                            self._INSERT_K_BUCKETS[-1]:
-                        ]
-                        if len(chunk) == 1:
+                        k = next(
+                            (b_k for b_k in reversed(self._INSERT_K_BUCKETS)
+                             if b_k <= len(pairs)),
+                            1,
+                        )
+                        chunk, pairs = pairs[:k], pairs[k:]
+                        if k == 1:
                             self._insert(*chunk[0])
                         else:
                             self._insert_batch(chunk, b)
