@@ -106,8 +106,7 @@ class TTSRequest:
     do_sample: bool = True
 
     def __post_init__(self):
-        if self.language == "auto" and isinstance(self.text, str) and len(self.text) > 0:
-            self.language = detect_language(self.text)
+        self.infer_language()
         validate_language(self.language)
         self.processor = EnhancedAudioProcessor(self.audio_config)
         if self.enhance_speech:
@@ -117,8 +116,16 @@ class TTSRequest:
             self.speaker_files = [self.preprocess_audio(f, self.audio_config) for f in files]
 
     def infer_language(self) -> None:
-        if self.language == "auto":
-            self.language = detect_language(self.text)
+        """Resolve language="auto" by detection. Generator texts stay "auto"
+        until the facade materializes them (core/tts.py); list texts detect
+        on their joined contents."""
+        if self.language != "auto":
+            return
+        text = self.text
+        if isinstance(text, list):
+            text = " ".join(t for t in text if isinstance(t, str))
+        if isinstance(text, str) and text:
+            self.language = detect_language(text)
 
     def preprocess_audio(
         self, audio_source: Union[str, bytes], audio_config: AudioPreprocessingConfig

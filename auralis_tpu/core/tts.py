@@ -158,10 +158,33 @@ class TTS:
             yield chunk
 
     # --------------------------------------------------------------- public
+    @staticmethod
+    async def _materialize_text_async(request: TTSRequest) -> None:
+        """Resolve flexible `text` inputs (reference requests.py:165 —
+        str | List[str] | AsyncGenerator[str, None]) to a concrete form the
+        frontend consumes: async generators and sync iterables drain to a
+        list; strings and lists pass through."""
+        text = request.text
+        if isinstance(text, str) or (
+            isinstance(text, list) and all(isinstance(t, str) for t in text)
+        ):
+            return
+        if hasattr(text, "__anext__"):
+            request.text = [t async for t in text]
+        elif hasattr(text, "__iter__"):
+            request.text = [str(t) for t in text]
+        else:
+            raise TypeError(
+                f"TTSRequest.text must be str, list[str], an iterable, or an "
+                f"async generator; got {type(text).__name__}"
+            )
+        request.infer_language()
+
     async def generate_speech_async(
         self, request: TTSRequest
     ) -> Union[AsyncGenerator[TTSOutput, None], TTSOutput]:
         self._ensure_event_loop()
+        await self._materialize_text_async(request)
 
         async def process_chunks():
             chunks = []
@@ -184,7 +207,17 @@ class TTS:
 
     @staticmethod
     def split_requests(request: TTSRequest, max_length: int = 100_000) -> List[TTSRequest]:
-        """Split >100k-char requests into independent sub-requests."""
+        """Split >100k-char requests into independent sub-requests. List
+        texts split per-element (each element is already an independent
+        frontend unit); only oversized str elements are cut."""
+        if not isinstance(request.text, str):
+            out = []
+            for element in request.text:
+                sub = request.copy()
+                sub.text = element
+                sub.request_id = uuid.uuid4().hex
+                out.extend(TTS.split_requests(sub, max_length))
+            return out or [request]
         if len(request.text) <= max_length:
             return [request]
         out = []
@@ -216,6 +249,7 @@ class TTS:
     ) -> Union[Generator[TTSOutput, None, None], TTSOutput]:
         """Synchronous entry point; returns a generator when streaming."""
         self._ensure_event_loop()
+        self.loop.run_until_complete(self._materialize_text_async(request))
         requests = self.split_requests(request)
 
         if request.stream:

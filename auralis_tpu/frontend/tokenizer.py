@@ -95,12 +95,20 @@ class TTSTokenizer:
         )
         return [e.ids for e in encodings]
 
-    def encode_with_split(self, text: str, lang: str = "en") -> List[List[int]]:
+    def encode_with_split(
+        self, text: Union[str, List[str]], lang: str = "en"
+    ) -> List[List[int]]:
         """Chunk long text by the language's character limit, then encode each
-        chunk (reference tokenizer.py:821-869 `batch_encode_with_split`)."""
+        chunk (reference tokenizer.py:821-869 `batch_encode_with_split`).
+        List inputs chunk per-element (each element is an independent text
+        unit, matching the reference's list handling) and encode as one
+        batch."""
         base = lang.split("-")[0]
         limit = self.char_limits.get(base, DEFAULT_CHAR_LIMIT)
-        chunks = split_text_into_chunks(text, max_length=limit)
+        texts = [text] if isinstance(text, str) else list(text)
+        chunks = [
+            c for t in texts for c in split_text_into_chunks(t, max_length=limit)
+        ]
         if not chunks:
             return []
         return self.batch_encode(chunks, lang)
