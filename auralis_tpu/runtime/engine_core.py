@@ -167,7 +167,10 @@ class DecodeEngine:
         With `stream_queue`, (latents_row, n) snapshots are pushed after every
         decode block until completion (then the future resolves as usual)."""
         if self._closed:
-            raise RuntimeError("DecodeEngine is shut down")
+            # shutdown() quiesces rather than destroys: device buffers and
+            # compiled programs survive, so a later submit reopens (tests
+            # and the sync API share one engine across TTS facades/loops)
+            self._closed = False
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         embeds = np.asarray(embeds)

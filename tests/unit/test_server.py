@@ -24,7 +24,10 @@ def voice_b64(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def shared_tts():
-    return TTS(scheduler_max_concurrency=2).with_engine(build_tiny_engine())
+    tts = TTS(scheduler_max_concurrency=2).with_engine(build_tiny_engine())
+    yield tts
+    if tts.loop is not None and not tts.loop.is_closed():
+        tts.loop.run_until_complete(tts.shutdown())
 
 
 @pytest.fixture()

@@ -65,8 +65,11 @@ def test_streaming_concat_equals_nonstreaming(engine, tmp_path):
             stream=stream, do_sample=False, temperature=1.0,
         )
 
-    full = tts.generate_speech(req(stream=False))
-    chunks = list(tts.generate_speech(req(stream=True)))
+    try:
+        full = tts.generate_speech(req(stream=False))
+        chunks = list(tts.generate_speech(req(stream=True)))
+    finally:
+        tts.loop.run_until_complete(tts.shutdown())
     assert len(chunks) >= 1
     streamed = np.concatenate([c.array for c in chunks])
     assert streamed.shape == full.array.shape
@@ -83,7 +86,10 @@ def test_streaming_yields_multiple_segments(engine, tmp_path):
         speaker_files=[wav_path], language="en", stream=True,
         do_sample=False, temperature=1.0,
     )
-    chunks = list(tts.generate_speech(req))
+    try:
+        chunks = list(tts.generate_speech(req))
+    finally:
+        tts.loop.run_until_complete(tts.shutdown())
     # tiny config: 32 tokens -> 139 post-interp frames -> FIRST(64) + rest
     total_pf = sum(len(c.array) for c in chunks) // 256
     if total_pf > FIRST_SEG_PF:

@@ -62,14 +62,85 @@ def _device_peaks():
 
 def program_cost(fn, *args, **kw):
     """XLA's cost model for the compiled program: (flops, bytes_accessed).
-    Returns (None, None) when the backend doesn't expose cost analysis."""
+    Returns (None, None) when the backend doesn't expose cost analysis
+    (the axon remote platform doesn't; callers then fall back to the
+    analytic models below)."""
     try:
         compiled = jax.jit(lambda *a: fn(*a, **kw)).lower(*args).compile()
         ca = compiled.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+        if flops or bytes_acc:
+            return flops, bytes_acc
+        return None, None
     except Exception:
         return None, None
+
+
+# ---------------------------------------------------------------- analytic
+# First-principles FLOP/byte models for the serving programs, used when the
+# backend exposes no compiled cost analysis. These count only the dominant
+# terms (weight streams, KV traffic, matmul FLOPs; conv FLOPs for the
+# vocoder) — good to ~10%, which is enough to place a program on the
+# roofline honestly.
+
+def pytree_bytes(params) -> int:
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def prefill_cost_analytic(cfg, bucket: int, weight_bytes: int, kv_itemsize: float):
+    """One insert_sequence at prompt bucket `bucket`: full weight stream +
+    causal-attention prefill over the bucket + KV write."""
+    d, L = cfg.hidden_size, cfg.num_layers
+    b = bucket
+    flops = L * (24 * b * d * d + 4 * b * b * d)  # qkv/proj/mlp + scores/PV
+    bytes_acc = weight_bytes + L * 2 * b * d * kv_itemsize
+    return float(flops), float(bytes_acc)
+
+
+def decode_cost_analytic(
+    cfg, num_slots: int, bound: int, n_steps: int, weight_bytes: int,
+    kv_itemsize: float,
+):
+    """One fused n_steps decode block. The batched step is fixed-shape: all
+    `num_slots` lanes compute (occupancy only changes which lanes carry live
+    audio), and each step streams the full weight set and every lane's KV up
+    to the length bound."""
+    d, L = cfg.hidden_size, cfg.num_layers
+    S = num_slots
+    per_step_flops = L * S * (24 * d * d + 4 * bound * d)
+    per_step_bytes = weight_bytes + L * S * bound * 2 * d * kv_itemsize
+    return float(n_steps * per_step_flops), float(n_steps * per_step_bytes)
+
+
+def vocoder_cost_analytic(hp, batch: int, n_latents: int, itemsize: int = 4):
+    """Conv-FLOPs walk over the HiFi-GAN stack: every conv weight [k,cin,cout]
+    contributes 2*k*cin*cout per output frame at its stage's temporal length
+    (input frames upsampled 4x1.088 by the latent interp, then x8,8,2,2)."""
+    t_in = int(n_latents * (1024 / 256) * (24000 / 22050))
+
+    def conv_flops(w, t_out):
+        k, cin, cout = w.shape
+        return 2.0 * k * cin * cout * t_out
+
+    flops = conv_flops(hp["conv_pre_w"], t_in)
+    flops += 2.0 * hp["cond_w"].shape[0] * hp["cond_w"].shape[1] * t_in
+    t = t_in
+    n_mrf = len(hp["resblocks"]) // len(hp["ups"])
+    for i, up in enumerate(hp["ups"]):
+        k, cin, cout = up["w"].shape
+        rate = (8, 8, 2, 2)[i]
+        t *= rate
+        flops += 2.0 * k * cin * cout * t
+        flops += 2.0 * hp["conds"][i]["w"].shape[0] * cout * t
+        for rb in hp["resblocks"][i * n_mrf : (i + 1) * n_mrf]:
+            for conv in rb["convs1"] + rb["convs2"]:
+                flops += conv_flops(conv["w"], t)
+    flops += conv_flops(hp["conv_post_w"], t)
+    # bandwidth: weights once + the big stage activations (rough)
+    bytes_acc = pytree_bytes(hp) + 3 * batch * t * 32 * itemsize
+    return float(batch * flops), float(bytes_acc)
 
 
 def roofline_str(dt_s: float, flops, bytes_acc, peaks) -> str:
@@ -93,6 +164,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=32)
     ap.add_argument("--steps", type=int, default=32)
+    ap.add_argument(
+        "--kv-int8", action="store_true",
+        help="profile with int8 KV (the TPU serving default; plain config "
+        "default is bf16 for parity with the hermetic tests)",
+    )
     args = ap.parse_args()
 
     from auralis_tpu.models.xttsv2.config import XTTSConfig
@@ -112,9 +188,18 @@ def main():
         f"{peaks['hbm_gbs']:.0f} GB/s HBM"
     )
     cfg = XTTSConfig().gpt
+    if args.kv_int8:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, kv_int8=True)
     key = jax.random.PRNGKey(0)
     params = init_gpt_params(cfg, key, dtype=jnp.bfloat16)
     S = args.slots
+    gpt_bytes = pytree_bytes(params)
+    # int8 KV stores one f32 scale per (token, row); bf16 KV is 2 B/elem
+    kv_itemsize = (1 + 4 / cfg.hidden_size) if cfg.kv_int8 else 2.0
+    print(f"gpt weights: {gpt_bytes/2**30:.2f} GiB  kv cache: "
+          f"{'int8' if cfg.kv_int8 else 'bf16'}")
 
     # token/sec of audio: gpt_code_stride_len upsample to 24 kHz
     sec_per_token = 1024 / 22050  # ≈ 46.4 ms of audio per mel token
@@ -147,6 +232,8 @@ def main():
             ),
             state,
         )
+        if fl is None:
+            fl, by = prefill_cost_analytic(cfg, b, gpt_bytes, kv_itemsize)
         print(f"prefill bucket {b}: {dt*1e3:8.2f} ms   "
               f"{roofline_str(dt, fl, by, peaks)}")
 
@@ -188,6 +275,10 @@ def main():
             # audio throughput if all occ slots were live
             rtf = ms_per_step / 1e3 / (occ * sec_per_token)
             fl, by = program_cost(step, state)
+            if fl is None:
+                fl, by = decode_cost_analytic(
+                    cfg, S, bound, args.steps, gpt_bytes, kv_itemsize
+                )
             print(
                 f"  occ {occ:3d} len_bound {bound:5d}: {ms_per_step:7.2f} ms/step"
                 f"  -> decode-only RTF {rtf:.4f}   "
@@ -209,6 +300,8 @@ def main():
         dt, _ = timeit(voc, hp, lat, g, n=3)
         audio_s = batch * bucket * sec_per_token
         fl, by = program_cost(voc, hp, lat, g)
+        if fl is None:
+            fl, by = vocoder_cost_analytic(hp, batch, bucket)
         print(
             f"  bucket {bucket} batch {batch}: {dt*1e3:8.1f} ms"
             f"  ({audio_s:.1f}s audio -> RTF {dt/audio_s:.4f})   "
