@@ -1169,7 +1169,25 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         t_consume = time.perf_counter()
         first_wait_recorded = False
         while True:
-            row, n, final = await queue.get()
+            # race the snapshot mailbox against the decode future: if
+            # generate() fails BEFORE the runner owns the request (submit
+            # raised, queue-full policy, engine shut down), nothing ever
+            # feeds the queue and a bare get() would hang the stream
+            # forever. On success the runner pushes the final snapshot
+            # before resolving the future with no await in between, so a
+            # completed future guarantees the queue is (or is about to be
+            # in the same loop step) non-empty.
+            get_task = asyncio.ensure_future(queue.get())
+            await asyncio.wait(
+                {get_task, future}, return_when=asyncio.FIRST_COMPLETED
+            )
+            if get_task.done():
+                row, n, final = get_task.result()
+            else:
+                get_task.cancel()
+                if future.exception() is not None:
+                    await future  # raises the decode failure to the caller
+                row, n, final = await queue.get()
             if not first_wait_recorded:
                 trace_record(
                     "phase2.first_snapshot_wait", time.perf_counter() - t_consume
