@@ -92,9 +92,10 @@ def pytree_bytes(params) -> int:
 def prefill_cost_analytic(cfg, bucket: int, weight_bytes: int, kv_itemsize: float):
     """One insert_sequence at prompt bucket `bucket`: full weight stream +
     causal-attention prefill over the bucket + KV write."""
-    d, L = cfg.hidden_size, cfg.num_layers
+    d, L = cfg.hidden_size, cfg.num_hidden_layers
     b = bucket
-    flops = L * (24 * b * d * d + 4 * b * b * d)  # qkv/proj/mlp + scores/PV
+    mm = 8 * d * d + 4 * d * cfg.n_inner  # qkv+proj / mlp per token per layer
+    flops = L * (b * mm + 4 * b * b * d)  # matmuls + scores/PV
     bytes_acc = weight_bytes + L * 2 * b * d * kv_itemsize
     return float(flops), float(bytes_acc)
 
@@ -107,9 +108,10 @@ def decode_cost_analytic(
     `num_slots` lanes compute (occupancy only changes which lanes carry live
     audio), and each step streams the full weight set and every lane's KV up
     to the length bound."""
-    d, L = cfg.hidden_size, cfg.num_layers
+    d, L = cfg.hidden_size, cfg.num_hidden_layers
     S = num_slots
-    per_step_flops = L * S * (24 * d * d + 4 * bound * d)
+    mm = 8 * d * d + 4 * d * cfg.n_inner
+    per_step_flops = L * S * (mm + 4 * bound * d)
     per_step_bytes = weight_bytes + L * S * bound * 2 * d * kv_itemsize
     return float(n_steps * per_step_flops), float(n_steps * per_step_bytes)
 
