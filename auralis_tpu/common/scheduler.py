@@ -90,6 +90,7 @@ class TwoPhaseScheduler:
         request = QueuedRequest(id=request_id or uuid.uuid4().hex, input=inputs)
         self.active_requests[request.id] = request
         gen_tasks: list[asyncio.Task] = []
+        parallel_inputs: list = []
         try:
             async with self._request_sem:
                 request.state = TaskState.PROCESSING_FIRST
@@ -171,6 +172,19 @@ class TwoPhaseScheduler:
                     t.cancel()
             if gen_tasks:
                 await asyncio.gather(*gen_tasks, return_exceptions=True)
+            if request.state is not TaskState.COMPLETED:
+                # aborted / failed: invoke per-input cancel hooks so work
+                # launched in phase 1 but never consumed by a phase-2
+                # generator (cancelled before its first __anext__) doesn't
+                # keep running in the engine. Started generators already
+                # cleaned up when their task was cancelled above.
+                for gi in parallel_inputs:
+                    cancel = gi.get("cancel") if isinstance(gi, dict) else None
+                    if cancel is not None:
+                        try:
+                            cancel()
+                        except Exception:
+                            logger.exception("cancel hook failed for %s", request.id)
             request.completion_event.set()
             self.active_requests.pop(request.id, None)
 

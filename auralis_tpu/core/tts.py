@@ -141,6 +141,11 @@ class TTS:
                 "speaker_embedding": speaker_embeddings,
                 "multimodal_data": conditioning,
                 "request": input_request,
+                # invoked by the scheduler when the request is abandoned
+                # before this chunk's phase-2 generator ever started (a
+                # started generator aborts its own handle); stops the
+                # engine from decoding tokens nobody will consume
+                "cancel": partial(self.tts_engine.cancel_generation_handle, handle),
             }
             for handle in handles
         ]
@@ -188,15 +193,23 @@ class TTS:
 
         async def process_chunks():
             chunks = []
-            async for chunk in self.scheduler.run(
+            agen = self.scheduler.run(
                 inputs=request,
                 request_id=request.request_id,
                 first_phase_fn=self._prepare_generation_context,
                 second_phase_fn=self._second_phase_fn,
-            ):
-                if request.stream:
-                    yield chunk
-                chunks.append(chunk)
+            )
+            try:
+                async for chunk in agen:
+                    if request.stream:
+                        yield chunk
+                    chunks.append(chunk)
+            finally:
+                # deterministic cleanup when the caller abandons the stream:
+                # async-for never acloses its source, so without this the
+                # scheduler's finally (which cancels in-flight decode work)
+                # would wait for GC/asyncgen-shutdown hooks
+                await agen.aclose()
             if not request.stream:
                 yield TTSOutput.combine_outputs(chunks)
 
@@ -262,11 +275,18 @@ class TTS:
                         first_phase_fn=self._prepare_generation_context,
                         second_phase_fn=self._second_phase_fn,
                     )
-                    while True:
-                        try:
-                            yield self.loop.run_until_complete(anext(agen))
-                        except StopAsyncIteration:
-                            break
+                    try:
+                        while True:
+                            try:
+                                yield self.loop.run_until_complete(anext(agen))
+                            except StopAsyncIteration:
+                                break
+                    finally:
+                        # caller closed the sync generator mid-stream: run
+                        # the scheduler's cleanup (cancels in-flight decode)
+                        # now, not at GC time
+                        if not self.loop.is_closed():
+                            self.loop.run_until_complete(agen.aclose())
 
             return streaming_wrapper()
         return self.loop.run_until_complete(self._process_multiple_requests(requests))

@@ -57,6 +57,15 @@ class BaseAsyncTTSEngine(ABC):
     async def get_audio_conditioning(self, speaker_files, *args, **kwargs):
         raise NotImplementedError
 
+    def cancel_generation_handle(self, handle: Any) -> None:
+        """Abort the in-flight token generation behind one phase-1 handle.
+
+        Called by the orchestrator when a request is abandoned before (or
+        while) its phase-2 generator runs, so engines can stop paying for
+        decode work nobody will consume. Default: no-op (engines whose
+        handles are plain awaitables may ignore cancellation)."""
+        return None
+
     async def shutdown(self) -> None:  # pragma: no cover - default no-op
         return None
 

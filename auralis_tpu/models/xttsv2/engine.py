@@ -820,6 +820,21 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             request_ids.append(f"{request.request_id}_{idx}")
         return handles, request_ids, speaker_embeddings, gpt_cond_latent
 
+    def cancel_generation_handle(self, handle) -> None:
+        """Abort one chunk's decode (request abandoned before its phase-2
+        generator ever started — started generators clean up in their own
+        finally). Cancelling the task flags the DecodeEngine pending, which
+        drops it from the queue / releases its slot on the runner's next
+        pass."""
+        if isinstance(handle, tuple):
+            fut, _queue, spec = (tuple(handle) + (None,))[:3]
+        else:
+            fut, spec = handle, None
+        if spec is not None:
+            spec.discard()
+        if not fut.done():
+            fut.cancel()
+
     # --------------------------------------------------------------- vocode
     def _vocoder_fn(self, bucket: int):
         if bucket not in self._vocoder_jits:
@@ -1145,6 +1160,27 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             future, queue, spec = (tuple(generator) + (None,))[:3]
         else:
             future, queue, spec = generator, None, None
+        inner = self._tokens_to_speech_inner(
+            future, queue, spec, speaker_embeddings, request
+        )
+        try:
+            async for out in inner:
+                yield out
+        finally:
+            # consumer gone (client disconnect, stream closed, error) or
+            # normal completion: make sure nothing keeps burning device
+            # time. cancel() on a resolved future is a no-op; a cancelled
+            # decode task releases its slot in DecodeEngine (true
+            # cancellation, engine_core._Pending.cancelled).
+            await inner.aclose()
+            if spec is not None:
+                spec.discard()
+            if not future.done():
+                future.cancel()
+
+    async def _tokens_to_speech_inner(
+        self, future, queue, spec, speaker_embeddings, request
+    ) -> AsyncGenerator[TTSOutput, None]:
         sr = self.hifi_config.output_sample_rate
 
         if queue is None:
@@ -1178,9 +1214,15 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             # completed future guarantees the queue is (or is about to be
             # in the same loop step) non-empty.
             get_task = asyncio.ensure_future(queue.get())
-            await asyncio.wait(
-                {get_task, future}, return_when=asyncio.FIRST_COMPLETED
-            )
+            try:
+                await asyncio.wait(
+                    {get_task, future}, return_when=asyncio.FIRST_COMPLETED
+                )
+            except BaseException:
+                # stream closed / cancelled while waiting: don't leave the
+                # mailbox get dangling ("Task was destroyed but pending")
+                get_task.cancel()
+                raise
             if get_task.done():
                 row, n, final = get_task.result()
             else:

@@ -144,6 +144,10 @@ class ReplicatedTTSEngine(BaseAsyncTTSEngine):
         tagged = [(idx, h) for h in handles]
         return tagged, ids, spk, cond
 
+    def cancel_generation_handle(self, handle) -> None:
+        idx, inner = handle
+        self.engines[idx].cancel_generation_handle(inner)
+
     async def process_tokens_to_speech(
         self,
         generator,

@@ -81,6 +81,10 @@ class _Pending:
     # on a slow host link; see the negative result in generate())
     embeds_dev: Optional[jax.Array] = None
     staging: bool = False
+    # set when the awaiting consumer abandoned the request (client
+    # disconnect, stream closed): the runner releases the slot at its next
+    # loop pass instead of decoding the remaining (up to ~600) dead steps
+    cancelled: bool = False
 
 
 class DecodeEngine:
@@ -190,7 +194,20 @@ class DecodeEngine:
         self._queue.append(pending)
         self._ensure_runner()
         self._wake.set()
-        return await fut
+        try:
+            return await fut
+        except asyncio.CancelledError:
+            # consumer abandoned the request: stop paying for its decode.
+            # Still queued -> drop it here; already in a slot -> flag it and
+            # let the runner release the slot on its next pass (the flag is
+            # also a skip signal for snapshots/speculative hooks meanwhile)
+            pending.cancelled = True
+            try:
+                self._queue.remove(pending)
+            except ValueError:
+                pass
+            self._wake.set()
+            raise
 
     async def shutdown(self) -> None:
         self._closed = True
@@ -440,7 +457,7 @@ class DecodeEngine:
         view. The gather makes an independent device buffer; n comes from the
         (one-block-lagged) status, so it never overstates what the row holds."""
         for slot, pending in self._slot_owner.items():
-            if pending.stream_queue is None or done[slot]:
+            if pending.stream_queue is None or done[slot] or pending.cancelled:
                 continue  # finished slots resolve via the future with exact n
             n = int(n_generated[slot])
             if n <= 0:
@@ -526,13 +543,29 @@ class DecodeEngine:
         pending_status = None  # device array from the previous block
         st = self.stats
         while not self._closed:
+            # release slots whose consumers went away (true cancellation:
+            # an abandoned 605-token chunk would otherwise decode for up to
+            # ~5 s of dead device work). One mask release per pass, same
+            # program _harvest_done uses; nothing resolves — the futures
+            # are already cancelled.
+            dead = [s for s, p in self._slot_owner.items() if p.cancelled]
+            if dead:
+                mask = np.zeros((self.num_slots,), bool)
+                mask[dead] = True
+                self.state = release_slots(self.state, jnp.asarray(mask))
+                for s in dead:
+                    self._slot_owner.pop(s, None)
+                    self._slot_meta.pop(s, None)
             # fill free slots from the queue (prefill interleaves with decode)
             t0 = time.perf_counter()
             free = self._free_slots()
             inserted = False
             to_insert: list[tuple[_Pending, int]] = []
             while free and self._queue:
-                to_insert.append((self._queue.popleft(), free.pop(0)))
+                head = self._queue.popleft()
+                if head.cancelled or head.future.done():
+                    continue  # cancelled between enqueue and insert
+                to_insert.append((head, free.pop(0)))
             if to_insert:
                 inserted = True
                 # group by prompt bucket; >=2 per bucket go through the
@@ -598,6 +631,7 @@ class DecodeEngine:
                     if (
                         p.on_young_block is not None
                         and not p.spec_done
+                        and not p.cancelled
                         and p.stream_queue is not None
                     ):
                         try:
