@@ -801,23 +801,31 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             do_sample=request.do_sample,
         )
         handles, request_ids = [], []
-        for idx, ids in enumerate(token_chunks):
-            prompt = self._build_prompt(gpt_cond_latent, ids)
-            # streaming requests get a snapshot mailbox so audio segments can
-            # be vocoded while the chunk is still decoding (intra-chunk
-            # streaming; the reference streams only whole chunks, §3.3)
-            queue = asyncio.Queue() if request.stream else None
-            # speculative first-segment vocode: launched by the runner the
-            # moment enough tokens exist, overlapping the status round-trip
-            spec = _SpecFirstSeg(self, speaker_embeddings) if request.stream else None
-            fut = asyncio.ensure_future(
-                self.decode_engine.generate(
-                    prompt, options, stream_queue=queue,
-                    on_young_block=spec.hook if spec is not None else None,
+        try:
+            for idx, ids in enumerate(token_chunks):
+                prompt = self._build_prompt(gpt_cond_latent, ids)
+                # streaming requests get a snapshot mailbox so audio segments
+                # can be vocoded while the chunk is still decoding (intra-chunk
+                # streaming; the reference streams only whole chunks, §3.3)
+                queue = asyncio.Queue() if request.stream else None
+                # speculative first-segment vocode: launched by the runner the
+                # moment enough tokens exist, overlapping the status round-trip
+                spec = _SpecFirstSeg(self, speaker_embeddings) if request.stream else None
+                fut = asyncio.ensure_future(
+                    self.decode_engine.generate(
+                        prompt, options, stream_queue=queue,
+                        on_young_block=spec.hook if spec is not None else None,
+                    )
                 )
-            )
-            handles.append((fut, queue, spec))
-            request_ids.append(f"{request.request_id}_{idx}")
+                handles.append((fut, queue, spec))
+                request_ids.append(f"{request.request_id}_{idx}")
+        except BaseException:
+            # a failure (or cancellation of phase 1) after some chunks were
+            # already submitted must not leave those chunks decoding with no
+            # consumer — the caller never receives the handles
+            for handle in handles:
+                self.cancel_generation_handle(handle)
+            raise
         return handles, request_ids, speaker_embeddings, gpt_cond_latent
 
     def cancel_generation_handle(self, handle) -> None:

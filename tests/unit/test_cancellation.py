@@ -192,6 +192,45 @@ def test_stream_abandon_stops_decode_and_engine_serves_next(tmp_path):
             tts.loop.run_until_complete(tts.shutdown())
 
 
+def test_phase1_failure_cancels_already_submitted_chunks(tmp_path):
+    """If get_generation_context fails after submitting some chunks, the
+    submitted decode futures must be cancelled (the caller never gets the
+    handles, so nothing else would ever stop them)."""
+    engine = build_tiny_engine(max_concurrency=4)
+    wav_path = sine_wav(tmp_path / "spk.wav")
+    long_text = (
+        "hello world this is a test of speech. the quick brown fox jumps "
+        "over the dog. one two three four five six seven. " * 3
+    )
+
+    real_build = engine._build_prompt
+    calls = {"n": 0}
+
+    def flaky(cond, ids):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("synthetic prompt failure on chunk 2")
+        return real_build(cond, ids)
+
+    engine._build_prompt = flaky
+
+    async def go():
+        req = TTSRequest(
+            text=long_text, speaker_files=[wav_path], language="en"
+        )
+        with pytest.raises(RuntimeError, match="chunk 2"):
+            await engine.get_generation_context(req)
+        await _wait_until(
+            lambda: engine.decode_engine.num_active == 0
+            and not engine.decode_engine._queue,
+            msg="submitted chunks cancelled after phase-1 failure",
+        )
+        await engine.shutdown()
+
+    asyncio.run(go())
+    assert calls["n"] >= 2  # the failure actually happened mid-submission
+
+
 def test_scheduler_fires_cancel_hooks_only_on_abort():
     """Abandoning scheduler.run must invoke each parallel input's `cancel`
     hook (covers chunks whose phase-2 generator never started); normal
