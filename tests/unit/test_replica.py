@@ -82,3 +82,38 @@ def test_streaming_through_replicas(replicated, tmp_path):
     wav_path = sine_wav(tmp_path / "spk2.wav")
     chunks = list(tts.generate_speech(_req(wav_path, stream=True)))
     assert chunks and all(np.isfinite(c.array).all() for c in chunks)
+
+
+def test_stream_abandon_through_replicas_stops_decode(replicated, tmp_path):
+    """cancel_generation_handle must delegate through the replica tag: an
+    abandoned stream drains the owning replica's decode engine."""
+    import asyncio
+    import time
+
+    tts, engine = replicated
+    wav_path = sine_wav(tmp_path / "spk3.wav")
+    long_text = (
+        "hello world this is a test of speech. the quick brown fox jumps "
+        "over the dog. one two three four five six seven. " * 3
+    )
+    stream = tts.generate_speech(
+        TTSRequest(text=long_text, speaker_files=[wav_path], language="en", stream=True)
+    )
+    first = next(stream)
+    assert np.isfinite(first.array).all()
+    stream.close()
+
+    async def drained():
+        t0 = time.monotonic()
+        while any(
+            e.decode_engine.num_active or e.decode_engine._queue
+            for e in engine.engines
+        ):
+            if time.monotonic() - t0 > 60:
+                raise AssertionError("replica decode did not drain after abandon")
+            await asyncio.sleep(0.05)
+
+    tts.loop.run_until_complete(drained())
+    # replicas still serve
+    out = tts.generate_speech(_req(wav_path))
+    assert len(out.array) > 0
