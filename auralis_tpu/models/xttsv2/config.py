@@ -84,6 +84,15 @@ class XTTSGPTConfig:
     # with kv_int8 (the cache write path is untouched).
     prefill_flash: bool = False
 
+    # int8 decode weights (W8A8): the four block matmul weights stored int8
+    # with per-(layer, output-channel) scales; activations quantized per slot
+    # row at each matmul. Halves the decode step's ~720 MB/step weight stream
+    # (the matmul side of the step is weight-bandwidth-bound at M=slots MXU
+    # rows). Decode-path only — prefill keeps bf16 weights (it amortizes the
+    # weight read over the whole prompt and its K/V writes seed the cache).
+    # Requires `params["blocks_q8"] = quantize_decode_weights(params["blocks"])`.
+    decode_w8a8: bool = False
+
     # int8 KV cache with per-(layer, slot, token) scales: halves decode's
     # KV-read bandwidth (the decode bottleneck — ~1.5x faster steps at the
     # 1024 length bound, measured tools/bench_decode_variants.py). Scores run

@@ -281,6 +281,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         cache_dtype=jnp.bfloat16,
         vocoder_dtype=jnp.bfloat16,
         kv_int8: Optional[bool] = None,
+        decode_w8a8: Optional[bool] = None,
         slot_bucketing: bool = False,
         seed: int = 0,
         **kwargs,
@@ -303,6 +304,16 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             # never mutate the caller's config: it may be shared across
             # engine instances/replicas or inspected after construction
             gpt_config = dataclasses.replace(gpt_config, kv_int8=kv_int8)
+        # int8 decode weights (W8A8) are OPT-IN, not a default: measured on
+        # v5e the step is KV-bandwidth-dominated and the bf16 weight stream
+        # already rides near roofline, so halving it buys only ~4%
+        # (8.56 -> 8.21 ms/step at 64 slots / bound 1024,
+        # tools/bench_prod_step.py) while latent SNR drops 45.9 -> 39.5 dB
+        # (test_w8a8.py vs test_kv_int8.py). Below the default bar; the knob
+        # stays for HBM-tighter configs (the int8 copy also halves decode
+        # weight residency).
+        if decode_w8a8 is not None and decode_w8a8 != gpt_config.decode_w8a8:
+            gpt_config = dataclasses.replace(gpt_config, decode_w8a8=decode_w8a8)
         self.gpt_config = gpt_config
         if gpt_config.kv_int8:
             assert not gpt_config.flash_decode, (
@@ -345,6 +356,16 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self.mel_eos_token_id = gpt_config.stop_audio_token
 
         self.params = params  # GPT pytree (incl. text embeddings + heads)
+        if self.gpt_config.decode_w8a8 and "blocks_q8" not in params:
+            from .gpt import quantize_decode_weights
+
+            # one fused program; decode programs read only blocks_q8's int8
+            # tensors (jit prunes the unused bf16 blocks from their
+            # executables), prefill reads only the bf16 blocks
+            self.params = dict(params)
+            self.params["blocks_q8"] = jax.jit(quantize_decode_weights)(
+                params["blocks"]
+            )
         self.core = core  # conditioning + vocoder pytrees
         if vocoder_dtype is not None:
             # the generator computes in its params' dtype (MRF accumulation
@@ -385,7 +406,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         ):
             stream_block_steps += 1
         self.decode_engine = DecodeEngine(
-            params,
+            self.params,
             gpt_config,
             num_slots=self.decode_slots,
             cache_dtype=cache_dtype,

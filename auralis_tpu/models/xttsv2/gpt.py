@@ -99,6 +99,42 @@ def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, s
 
 
+# ------------------------------------------------- int8 decode weights (W8A8)
+
+
+def quantize_decode_weights(blocks: dict) -> dict:
+    """Per-(layer, output-channel) symmetric int8 quantization of the four
+    decode matmul weights. Returns the `blocks_q8` pytree consumed by
+    `gpt_decode_step` when cfg.decode_w8a8 is set.
+
+    Why: the decode step is weight-stream-bound on its matmul side — every
+    step reads all ~720 MB of block weights from HBM while the MXU sits at
+    M=num_slots rows. Storing the weights int8 halves that stream; the dot
+    runs as int8 x int8 -> int32 on the MXU (same reasoning as the int8 KV
+    path: a mixed-dtype dot would materialize a bf16 copy of the whole
+    weight read). Activations are quantized per (slot) row at each matmul
+    (see `_dot_w8a8`), so accuracy rests on per-output-channel weight scales
+    + per-row activation scales — the standard W8A8 recipe.
+    """
+    out = {}
+    for name in ("attn_w", "attn_proj_w", "fc_w", "fc_proj_w"):
+        w = blocks[name].astype(jnp.float32)  # [L, Din, Dout]
+        s = jnp.maximum(jnp.max(jnp.abs(w), axis=1), 1e-8) / 127.0  # [L, Dout]
+        out[name + "_q"] = jnp.round(w / s[:, None, :]).astype(jnp.int8)
+        out[name + "_s"] = s
+    return out
+
+
+def _dot_w8a8(x: jax.Array, wq: jax.Array, ws: jax.Array, b: jax.Array) -> jax.Array:
+    """x [S, Din] (bf16/f32) @ int8 weight [Din, Dout] with per-output-channel
+    scales [Dout]: per-row activation quantize, int8 MXU dot, rescale."""
+    xq, xs = _quantize_rows(x)
+    y = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
+    yf = y.astype(jnp.float32) * xs[:, None] * ws[None, :]
+    yf = yf + b.astype(jnp.float32)
+    return yf.astype(x.dtype)
+
+
 # ------------------------------------------------------------------ params
 
 
@@ -395,11 +431,17 @@ def gpt_decode_step(
     att_mask = key_pos[None, :] <= seq_lens[:, None]  # include current position
     neg = jnp.finfo(jnp.float32).min
 
+    w8 = cfg.decode_w8a8 and "blocks_q8" in params
+
     def body(layer, carry):
         x, cache = carry
         bp = _block_params(params["blocks"], layer)
+        bq = _block_params(params["blocks_q8"], layer) if w8 else None
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
-        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
+        if w8:
+            qkv = _dot_w8a8(xn, bq["attn_w_q"], bq["attn_w_s"], bp["attn_b"])
+        else:
+            qkv = _dot(xn, bp["attn_w"], bp["attn_b"])
         q, k, v = jnp.split(qkv, 3, axis=-1)  # each [S, D] flat
         if cfg.flash_decode:
             from ...ops.experimental.attention import flash_decode_append_attention
@@ -500,11 +542,18 @@ def gpt_decode_step(
             )  # [S, H, HD]
             ctx = jnp.sum(ctx_full * head_onehot.T[None], axis=1)
         ctx = ctx.reshape(s, d).astype(x.dtype)
-        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
-        xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
-        y = _dot(xn, bp["fc_w"], bp["fc_b"])
-        y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
-        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+        if w8:
+            x = x + _dot_w8a8(ctx, bq["attn_proj_w_q"], bq["attn_proj_w_s"], bp["attn_proj_b"])
+            xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+            y = _dot_w8a8(xn, bq["fc_w_q"], bq["fc_w_s"], bp["fc_b"])
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+            x = x + _dot_w8a8(y, bq["fc_proj_w_q"], bq["fc_proj_w_s"], bp["fc_proj_b"])
+        else:
+            x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+            xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+            y = _dot(xn, bp["fc_w"], bp["fc_b"])
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+            x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
         return x, cache
 
     if cfg.flash_decode:
