@@ -438,34 +438,52 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._spk_jits: dict[int, Any] = {}
         self._cond_cache: dict[str, tuple] = {}
         self._vocode_batcher = _VocodeBatcher(self)
-        self._packed_resblocks = self._maybe_pack_resblocks()
+        self._packed_resblocks, self._packed_stages = self._maybe_pack_resblocks()
         self.get_memory_usage_curve()
 
     def _maybe_pack_resblocks(self):
-        """Pre-pack HiFi-GAN MRF weights for the fused Pallas kernel
+        """Pre-pack HiFi-GAN MRF weights for the fused Pallas kernels
         (ops/mrf.py). TPU + bf16 vocoder only: the kernel's VMEM budget
-        assumes bf16 and CPU runs the XLA conv path."""
+        assumes bf16 and CPU runs the XLA conv path.
+
+        Returns (packed_resblocks, packed_stages): per-block kernels always,
+        plus merged three-blocks-in-one-kernel stages (PackedMRFStage,
+        bit-identical output) for every stage whose 18-conv weight set fits
+        VMEM — stage 0 at C=512-initial/2=256 does not (~17 MiB), the
+        narrower stages do. Per-program fixed costs dominate the per-block
+        kernels (measured: a k=3 and a k=11 resblock cost 20.4 vs 25.7 ms at
+        stage 3 despite 3x the taps), so merging cuts most of that."""
         try:
             hifigan = self.core["hifigan"]
             if (
                 jax.default_backend() != "tpu"
                 or hifigan["conv_pre_w"].dtype != jnp.bfloat16
             ):
-                return None
-            from ...ops.mrf import PackedResblock
+                return None, None
+            from ...ops.mrf import PackedMRFStage, PackedResblock
             from .hifigan import RESBLOCK_KERNELS, UPSAMPLE_RATES
 
             packed = []
+            stages = []
             for i in range(len(UPSAMPLE_RATES)):
+                blocks = []
+                c = None
                 for j, k in enumerate(RESBLOCK_KERNELS):
                     p = hifigan["resblocks"][i * len(RESBLOCK_KERNELS) + j]
                     c = int(p["convs1"][0]["w"].shape[1])
                     packed.append(PackedResblock(p, k, c, dtype=jnp.bfloat16))
-            logger.info("fused Pallas MRF enabled (%d resblocks packed)", len(packed))
-            return packed
+                    blocks.append(p)
+                stage = PackedMRFStage(blocks, RESBLOCK_KERNELS, c, dtype=jnp.bfloat16)
+                # t_tile is None when no tile fits the VMEM budget (stage 0)
+                stages.append(stage if stage.t_tile is not None else None)
+            logger.info(
+                "fused Pallas MRF enabled (%d resblocks packed, %d stages merged)",
+                len(packed), sum(s is not None for s in stages),
+            )
+            return packed, stages
         except Exception as e:  # pragma: no cover — fall back to XLA convs
             logger.warning("fused MRF packing failed (%s); using XLA convs", e)
-            return None
+            return None, None
 
     # ----------------------------------------------------------- properties
     @property
@@ -877,6 +895,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     input_sample_rate=cfg.input_sample_rate,
                     output_sample_rate=cfg.output_sample_rate,
                     packed_resblocks=self._packed_resblocks,
+                    packed_stages=self._packed_stages,
                 )
 
             self._vocoder_jits[bucket] = jax.jit(run)
@@ -946,6 +965,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     input_sample_rate=cfg.input_sample_rate,
                     output_sample_rate=cfg.output_sample_rate,
                     packed_resblocks=self._packed_resblocks,
+                    packed_stages=self._packed_stages,
                 )
                 # ship int16 to the host: 4x fewer bytes on the wire, and the
                 # serving formats are 16-bit PCM anyway (tanh bounds |wav|<=1)
@@ -1096,7 +1116,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
                 zs = jax.vmap(one)(z, slice_starts)  # [B, D, slice_len]
                 wav = hifigan_generator(hp, jnp.swapaxes(zs, 1, 2), gs,
-                                        packed_resblocks=self._packed_resblocks)
+                                        packed_resblocks=self._packed_resblocks,
+                                        packed_stages=self._packed_stages)
                 return jnp.round(wav * 32767.0).astype(jnp.int16)
 
             self._vocoder_jits["seg"] = run
@@ -1140,7 +1161,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                     )
                 z = z[..., :slice_len]
                 wav = hifigan_generator(hp, jnp.swapaxes(z, 1, 2), gs,
-                                        packed_resblocks=self._packed_resblocks)
+                                        packed_resblocks=self._packed_resblocks,
+                                        packed_stages=self._packed_stages)
                 return jnp.round(wav * 32767.0).astype(jnp.int16)
 
             self._vocoder_jits["seg_first"] = run

@@ -68,12 +68,15 @@ def _resblock1(p: dict, x: jax.Array, kernel: int) -> jax.Array:
 
 
 def hifigan_generator(params: dict, x: jax.Array, g: jax.Array,
-                      packed_resblocks=None) -> jax.Array:
+                      packed_resblocks=None, packed_stages=None) -> jax.Array:
     """x [B, T, C_in], g [B, d_vector] -> waveform [B, T * prod(rates)].
 
     `packed_resblocks` (a list of ops.mrf.PackedResblock, prepared host-side
     from concrete weights) routes the MRF through the fused Pallas kernel;
-    None keeps the XLA conv path (CPU / parity tests)."""
+    None keeps the XLA conv path (CPU / parity tests). `packed_stages`
+    (optional list of 4, entries ops.mrf.PackedMRFStage or None) upgrades a
+    whole stage to the merged three-blocks-in-one-kernel form where its
+    weights fit VMEM — bit-identical output, one x read instead of three."""
     dtype = params["conv_pre_w"].dtype
     x = x.astype(dtype)
     g = g.astype(dtype)
@@ -90,15 +93,18 @@ def hifigan_generator(params: dict, x: jax.Array, g: jax.Array,
                               padding=(kernel - rate) // 2)
         cond = params["conds"][i]
         h = h + jnp.einsum("bd,do->bo", g, cond["w"])[:, None, :] + cond["b"]
-        acc = None
-        for j, rk in enumerate(RESBLOCK_KERNELS):
-            idx = i * len(RESBLOCK_KERNELS) + j
-            if packed_resblocks is not None:
-                z = packed_resblocks[idx](h)
-            else:
-                z = _resblock1(params["resblocks"][idx], h, rk)
-            acc = z.astype(jnp.float32) if acc is None else acc + z.astype(jnp.float32)
-        h = (acc / len(RESBLOCK_KERNELS)).astype(x.dtype)
+        if packed_stages is not None and packed_stages[i] is not None:
+            h = packed_stages[i](h).astype(x.dtype)
+        else:
+            acc = None
+            for j, rk in enumerate(RESBLOCK_KERNELS):
+                idx = i * len(RESBLOCK_KERNELS) + j
+                if packed_resblocks is not None:
+                    z = packed_resblocks[idx](h)
+                else:
+                    z = _resblock1(params["resblocks"][idx], h, rk)
+                acc = z.astype(jnp.float32) if acc is None else acc + z.astype(jnp.float32)
+            h = (acc / len(RESBLOCK_KERNELS)).astype(x.dtype)
     h = jax.nn.leaky_relu(h, 0.01)  # final lrelu uses the torch default slope
     h = _conv1d(h, params["conv_post_w"], padding=3)  # no bias (conv_post_bias=False)
     return jnp.tanh(h)[..., 0]
@@ -114,6 +120,7 @@ def hifi_decoder(
     input_sample_rate: int = 22050,
     output_sample_rate: int = 24000,
     packed_resblocks=None,
+    packed_stages=None,
 ) -> jax.Array:
     """Latents -> 24 kHz waveform (reference HifiDecoder.forward,
     hifigan_decoder.py:776-802)."""
@@ -122,7 +129,8 @@ def hifi_decoder(
     if output_sample_rate != input_sample_rate:
         z = interp_linear_scale(z, output_sample_rate / input_sample_rate)
     return hifigan_generator(params, jnp.swapaxes(z, 1, 2), g,
-                             packed_resblocks=packed_resblocks)
+                             packed_resblocks=packed_resblocks,
+                             packed_stages=packed_stages)
 
 
 # ----------------------------------------------------------------- init

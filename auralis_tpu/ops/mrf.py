@@ -216,6 +216,129 @@ def _run_fused(x, convs, halo, t_true, fold, t_tile, interpret):
     return out[:, :t, :]
 
 
+# ------------------------------------------------- merged MRF stage kernel
+
+def _make_stage_kernel(chain_shapes, c: int, t_tile: int, halo: int,
+                       out_dtype, t_true: int, fold: int):
+    """Like _make_kernel, but runs N resblock chains over the SAME x tile and
+    emits their mean: the tile is DMA'd once (vs once per block), the mean
+    needs no XLA pass over three block outputs, and the grid has a third of
+    the programs. chain_shapes: tuple of per-chain 6-tuples of tap offsets.
+
+    Bit-exactness with the 3-call path: each chain's result is cast to the
+    block output dtype before the f32 mean — exactly what the unmerged
+    kernel + XLA mean compute."""
+    lt = t_tile + 2 * halo
+    n_chains = len(chain_shapes)
+    n_conv = len(chain_shapes[0])
+    n_w = 2 * n_conv  # (w, b) per conv
+
+    def body(x_hbm, *refs):
+        weight_refs = refs[: n_chains * n_w]
+        out_ref = refs[n_chains * n_w]
+        x_buf = refs[n_chains * n_w + 1]   # [LT, C]
+        a_ref = refs[n_chains * n_w + 2]   # [LT, max_taps*C]
+        sem = refs[n_chains * n_w + 3]
+
+        bb = pl.program_id(0)
+        tt = pl.program_id(1)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tt * t_tile, lt)], x_buf, sem
+        )
+        cp.start()
+        cp.wait()
+
+        row = lax.broadcasted_iota(jnp.int32, (lt, c), 0) + (tt * t_tile - halo)
+        if fold > 1:
+            f_of_lane = lax.broadcasted_iota(jnp.int32, (lt, c), 1) // (c // fold)
+            g = row * fold + f_of_lane
+            seq_mask = (g >= 0) & (g < t_true)
+        else:
+            seq_mask = (row >= 0) & (row < t_true)
+
+        def conv(t_buf, offsets, w_ref, b_ref):
+            t_buf = jnp.where(seq_mask, t_buf, 0)
+            for j, off in enumerate(offsets):
+                dst_lo = max(0, -off)
+                src_lo = max(0, off)
+                length = lt - abs(off)
+                if dst_lo > 0:
+                    a_ref[0:dst_lo, j * c:(j + 1) * c] = jnp.zeros(
+                        (dst_lo, c), a_ref.dtype
+                    )
+                a_ref[dst_lo:dst_lo + length, j * c:(j + 1) * c] = t_buf[
+                    src_lo:src_lo + length, :
+                ]
+                if dst_lo + length < lt:
+                    a_ref[dst_lo + length:lt, j * c:(j + 1) * c] = jnp.zeros(
+                        (lt - dst_lo - length, c), a_ref.dtype
+                    )
+            kc = len(offsets) * c
+            y = jnp.dot(
+                a_ref[:, :kc], w_ref[:], preferred_element_type=jnp.float32
+            )
+            return y + b_ref[:].astype(jnp.float32)
+
+        acc = None
+        for ch in range(n_chains):
+            wrefs = weight_refs[ch * n_w:(ch + 1) * n_w]
+            y = x_buf[:].astype(jnp.float32)
+            for it in range(n_conv // 2):
+                o1 = chain_shapes[ch][2 * it]
+                o2 = chain_shapes[ch][2 * it + 1]
+                w1, b1 = wrefs[4 * it], wrefs[4 * it + 1]
+                w2, b2 = wrefs[4 * it + 2], wrefs[4 * it + 3]
+                t = _lrelu(y).astype(x_buf.dtype)
+                h = conv(t, o1, w1, b1)
+                t2 = _lrelu(h).astype(x_buf.dtype)
+                h2 = conv(t2, o2, w2, b2)
+                y = y + h2
+            # match the unmerged path bit-for-bit: block outputs are cast to
+            # the block dtype before XLA's f32 mean
+            yb = y[halo:halo + t_tile, :].astype(out_dtype).astype(jnp.float32)
+            acc = yb if acc is None else acc + yb
+        out_ref[0] = (acc / n_chains).astype(out_dtype)
+
+    return body
+
+
+def _run_fused_stage(x, chains, halo, t_true, fold, t_tile, interpret):
+    """chains: list of per-block conv lists (as from pack/fold_resblock_params)."""
+    b, t, c = x.shape
+    n_tiles = -(-t // t_tile)
+    t_pad = n_tiles * t_tile
+    xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)))
+    lt = t_tile + 2 * halo
+    max_taps = max(len(cv[0]) for convs in chains for cv in convs)
+
+    weight_arrays, weight_specs = [], []
+    for convs in chains:
+        for offs, w, bias in convs:
+            weight_arrays.append(w.astype(x.dtype))
+            weight_arrays.append(bias.astype(x.dtype))
+            weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+
+    body = _make_stage_kernel(
+        tuple(tuple(cv[0] for cv in convs) for convs in chains),
+        c, t_tile, halo, x.dtype, t_true, fold,
+    )
+    out = pl.pallas_call(
+        body,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
+        out_specs=pl.BlockSpec((1, t_tile, c), lambda bb, tt: (bb, tt, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((lt, c), x.dtype),
+            pltpu.VMEM((lt, max_taps * c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, *weight_arrays)
+    return out[:, :t, :]
+
+
 # ------------------------------------------------------------------- public
 
 class PackedResblock:
@@ -245,3 +368,75 @@ class PackedResblock:
             out = _run_fused(xf, self.convs, self.halo, t, f, t_tile, interpret)
             return out.reshape(b, t_fold * f, c)[:, :t, :]
         return _run_fused(x, self.convs, self.halo, t, 1, t_tile, interpret)
+
+
+class PackedMRFStage:
+    """Host-side packed weights for one FULL MRF stage: all three resblocks
+    (k = 3, 7, 11) fused into one kernel that emits their mean.
+
+    vs three PackedResblock calls + an XLA mean: the stage input is read
+    from HBM once instead of three times, the three block outputs never
+    materialize (no extra 3-read + 1-write mean pass), and the grid runs a
+    third of the programs. Output is bit-identical to the unmerged path
+    (each chain's tile result is cast to the block dtype before the f32
+    mean, reproducing XLA's arithmetic exactly).
+
+    `vmem_bytes()` reports the kernel's weight + scratch footprint so the
+    caller can fall back to per-block kernels where the stage doesn't fit
+    (stage 0 at C=256 holds ~17 MB of weights — over VMEM). Construction
+    picks the largest tile in T_TILE_CANDIDATES that fits `vmem_budget`
+    (measured on v5e: 1024 beats 512 by ~6-9% at every production stage);
+    `t_tile` is None when no tile fits."""
+
+    T_TILE_CANDIDATES = (1024, 512)
+
+    def __init__(self, blocks: list, kernels, c: int, dtype=None,
+                 vmem_budget: int = 14 * 2**20):
+        assert len(blocks) == len(kernels)
+        self.c = c
+        self.fold = max(1, 128 // c)
+        self.chains = []
+        halos = []
+        for p, kernel in zip(blocks, kernels):
+            if self.fold > 1:
+                convs, halo = fold_resblock_params(p, kernel, self.fold, dtype)
+            else:
+                convs, halo = pack_resblock_weights(p, kernel, dtype)
+            self.chains.append(convs)
+            halos.append(halo)
+        self.halo = max(halos)
+        self.t_tile = next(
+            (t for t in self.T_TILE_CANDIDATES if self.vmem_bytes(t) < vmem_budget),
+            None,
+        )
+
+    def vmem_bytes(self, t_tile: int = 512, itemsize: int = 2) -> int:
+        lt = t_tile + 2 * self.halo
+        cl = self.c * self.fold if self.fold > 1 else self.c
+        w_bytes = sum(
+            int(np.prod(np.asarray(w).shape)) * itemsize
+            for convs in self.chains
+            for _, w, _ in convs
+        )
+        max_taps = max(len(cv[0]) for convs in self.chains for cv in convs)
+        scratch = lt * cl * itemsize + lt * max_taps * cl * itemsize
+        # + the f32 working row set (y, acc) the compiler keeps live
+        working = 3 * lt * cl * 4
+        return w_bytes + scratch + working
+
+    def __call__(self, x: jax.Array, t_tile: int | None = None,
+                 interpret: bool = False) -> jax.Array:
+        """x [B, T, C] -> [B, T, C] = mean of the three resblocks."""
+        b, t, c = x.shape
+        assert c == self.c
+        t_tile = t_tile or self.t_tile or 512
+        if self.fold > 1:
+            f = self.fold
+            t_fold = -(-t // f)
+            xpad = jnp.pad(x, ((0, 0), (0, t_fold * f - t), (0, 0)))
+            xf = xpad.reshape(b, t_fold, f * c)
+            out = _run_fused_stage(
+                xf, self.chains, self.halo, t, f, t_tile, interpret
+            )
+            return out.reshape(b, t_fold * f, c)[:, :t, :]
+        return _run_fused_stage(x, self.chains, self.halo, t, 1, t_tile, interpret)

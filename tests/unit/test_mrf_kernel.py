@@ -98,3 +98,78 @@ def test_sequence_edge_zero_padding_exact():
     for sl in (slice(0, 70), slice(-70, None)):
         rel = np.abs(got[:, sl] - want[:, sl]).max() / scale
         assert rel < 1e-5, f"edge {sl} rel diff {rel:.2e}"
+
+
+# ------------------------------------------------- merged MRF stage kernel
+
+
+def _mrf_mean_xla(blocks, x, kernels):
+    acc = None
+    for p, k in zip(blocks, kernels):
+        z = _resblock1(p, x, k).astype(jnp.float32)
+        acc = z if acc is None else acc + z
+    return (acc / len(blocks)).astype(x.dtype)
+
+
+@pytest.mark.parametrize(
+    "c,t",
+    [
+        (128, 300),   # unfolded, tile boundaries at t_tile=256
+        (256, 520),
+        (64, 413),    # fold 2, odd length
+        (32, 333),    # fold 4
+    ],
+)
+def test_merged_stage_matches_xla_mean(c, t):
+    from auralis_tpu.ops.mrf import PackedMRFStage
+
+    kernels = (3, 7, 11)
+    rng = np.random.default_rng(c * 7 + t)
+    blocks = [_params(rng, k, c) for k in kernels]
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32))
+    want = np.asarray(_mrf_mean_xla(blocks, x, kernels))
+    stage = PackedMRFStage(blocks, kernels, c)
+    got = np.asarray(stage(x, t_tile=256, interpret=True))
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-6)
+    rel = np.abs(got - want).max() / scale
+    assert rel < 1e-5, f"relative diff {rel:.2e}"
+
+
+def test_merged_stage_bit_identical_to_three_calls_bf16():
+    """In bf16 (the serving dtype), the merged kernel must be BIT-identical
+    to [three PackedResblock calls -> f32 mean -> bf16]: each chain result
+    is cast to the block dtype before the mean inside the kernel."""
+    from auralis_tpu.ops.mrf import PackedMRFStage
+
+    kernels = (3, 7, 11)
+    c, t = 64, 300
+    rng = np.random.default_rng(9)
+    blocks = [_params(rng, k, c) for k in kernels]
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    acc = None
+    for p, k in zip(blocks, kernels):
+        z = PackedResblock(p, k, c, dtype=jnp.bfloat16)(
+            x, t_tile=256, interpret=True
+        ).astype(jnp.float32)
+        acc = z if acc is None else acc + z
+    want = np.asarray((acc / len(blocks)).astype(jnp.bfloat16))
+    stage = PackedMRFStage(blocks, kernels, c, dtype=jnp.bfloat16)
+    got = np.asarray(stage(x, t_tile=256, interpret=True))
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got, want)
+
+
+def test_merged_stage_vmem_accounting():
+    from auralis_tpu.ops.mrf import PackedMRFStage
+
+    kernels = (3, 7, 11)
+    rng = np.random.default_rng(1)
+    # stage 0 of the production generator: C=256 — must report over-budget
+    big = PackedMRFStage([_params(rng, k, 256) for k in kernels], kernels, 256)
+    assert big.vmem_bytes(t_tile=512) > 16 * 2**20
+    # stage 1 (C=128) fits
+    small = PackedMRFStage([_params(rng, k, 128) for k in kernels], kernels, 128)
+    assert small.vmem_bytes(t_tile=512) < 16 * 2**20

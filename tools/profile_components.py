@@ -288,14 +288,35 @@ def main():
             )
 
     # ---- vocoder ----
-    print("\nvocoder (HiFi-GAN full):")
+    # profile the SERVING configuration: bf16 params, fused Pallas MRF
+    # resblocks, and merged-stage kernels where they fit VMEM (on CPU the
+    # XLA conv path runs, same as serving there)
+    on_tpu = jax.default_backend() == "tpu"
+    voc_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"\nvocoder (HiFi-GAN full, {'bf16+Pallas MRF' if on_tpu else 'f32 XLA'}):")
     hp = init_hifigan_params(
         jax.random.PRNGKey(2), in_channels=cfg.hidden_size, cond_channels=512,
-        upsample_initial=512, dtype=jnp.float32,
+        upsample_initial=512, dtype=voc_dtype,
     )
+    packed = stages = None
+    if on_tpu:
+        from auralis_tpu.models.xttsv2.hifigan import RESBLOCK_KERNELS, UPSAMPLE_RATES
+        from auralis_tpu.ops.mrf import PackedMRFStage, PackedResblock
+
+        packed, stages = [], []
+        for i in range(len(UPSAMPLE_RATES)):
+            blocks = []
+            for j, k in enumerate(RESBLOCK_KERNELS):
+                p = hp["resblocks"][i * 3 + j]
+                c = int(p["convs1"][0]["w"].shape[1])
+                packed.append(PackedResblock(p, k, c, dtype=voc_dtype))
+                blocks.append(p)
+            st = PackedMRFStage(blocks, RESBLOCK_KERNELS, c, dtype=voc_dtype)
+            stages.append(st if st.t_tile is not None else None)
     voc = jax.jit(lambda p, l, g: hifi_decoder(
         p, l, g, ar_mel_length_compression=1024, output_hop_length=256,
-        input_sample_rate=22050, output_sample_rate=24000))
+        input_sample_rate=22050, output_sample_rate=24000,
+        packed_resblocks=packed, packed_stages=stages))
     for bucket, batch in ((640, 1), (640, 4)):
         lat = jnp.zeros((batch, bucket, cfg.hidden_size), jnp.float32)
         g = jnp.zeros((batch, 512), jnp.float32)
