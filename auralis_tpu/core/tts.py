@@ -346,6 +346,12 @@ class TTS:
         precompile = getattr(self.tts_engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             precompile()
+        # decode-block executables likewise: with slot bucketing on, the
+        # narrow slot-bound programs (and migrate_slot) would otherwise
+        # compile lazily at the first drain — mid-serving
+        decode_engine = getattr(self.tts_engine, "decode_engine", None)
+        if decode_engine is not None and getattr(decode_engine, "slot_bucketing", False):
+            decode_engine.precompile()
         try:
             self.loop.run_until_complete(_run())
         finally:

@@ -376,6 +376,49 @@ def decode_steps_status(
 
 
 @partial(jax.jit, donate_argnames=("state",))
+def migrate_slot(state: DecodeState, src: jax.Array, dst: jax.Array) -> DecodeState:
+    """Move slot `src`'s ENTIRE decode state (KV rows + scales, sampling
+    config + seen mask, counters, token/latent buffers) into slot `dst`
+    (which must be free) and clear `src`.
+
+    Why: insertion is lowest-free, but long-lived sequences strand at high
+    indices as their neighbors finish — which pins `slot_bound` at full
+    width even when few slots are live. Compaction re-clusters live slots
+    low so the decode step can run the narrow slot-bucket program (the KV
+    read scales with the bound, not the live count). Cost: ~60 MB of
+    device-local copies at production size (~0.1 ms) — trivial next to one
+    decode block. Caller contract: src is live, dst is free, src != dst;
+    any packed-status vector fetched before the move indexes stale slots."""
+
+    def mv(a, axis=0):
+        row = lax.dynamic_slice_in_dim(a, src, 1, axis)
+        return lax.dynamic_update_slice_in_dim(a, row, dst, axis)
+
+    cache = state.cache
+    new_cache = KVCache(
+        mv(cache.k, 1),
+        mv(cache.v, 1),
+        mv(cache.k_scale, 1) if cache.k_scale is not None else None,
+        mv(cache.v_scale, 1) if cache.v_scale is not None else None,
+    )
+    sampling = SamplingState(*(mv(a) for a in state.sampling))
+    clear_src = jnp.arange(state.seq_lens.shape[0]) != src
+    return DecodeState(
+        cache=new_cache,
+        sampling=sampling,
+        seq_lens=mv(state.seq_lens),
+        audio_pos=mv(state.audio_pos),
+        last_token=mv(state.last_token),
+        active=mv(state.active) & clear_src,
+        done=mv(state.done) & clear_src,
+        tokens_buf=mv(state.tokens_buf),
+        latents_buf=mv(state.latents_buf),
+        n_generated=jnp.where(clear_src, mv(state.n_generated), 0),
+        rng=state.rng,
+    )
+
+
+@partial(jax.jit, donate_argnames=("state",))
 def release_slot(state: DecodeState, slot: jax.Array) -> DecodeState:
     onehot = jnp.arange(state.seq_lens.shape[0]) == slot
     return state._replace(

@@ -32,6 +32,7 @@ from .decode_loop import (
     init_decode_state,
     insert_sequence,
     insert_sequences,
+    migrate_slot,
     prefill_bucket,
     release_slots,
     unpack_status,
@@ -123,14 +124,15 @@ class DecodeEngine:
         # the first-segment speculation fire after ONE block (pf math);
         # default is the conservative class constant
         self.stream_block_steps = stream_block_steps or self.STREAM_BLOCK_STEPS
-        # slot_bucketing: step only the first half of the slot array when
-        # every live slot sits below num_slots/2 (insertion is lowest-free,
-        # so sustained LOW-occupancy serving clusters there) — 1.56x faster
-        # steps at half width. OFF by default: each extra (block, len, slot)
-        # combination is its own XLA program and compiles lazily, which
-        # shows up as latency spikes unless the operator precompiles
-        # (TTS.warmup covers the default set only). Saturated workloads
-        # don't benefit: their tails strand survivors at high indices.
+        # slot_bucketing: step only the first quarter/half of the slot array
+        # when every live slot sits below that bound — the decode step's KV
+        # read scales with the bound, not the live count, so low-occupancy
+        # phases (young streaming bursts, drain tails) run up to ~4x less
+        # attention traffic. Insertion is lowest-free and _compact_slots
+        # migrates drain stragglers down, so the bound tracks the live set.
+        # Callers must run precompile() before serving: each extra
+        # (block, len, slot) combination is its own XLA program and a lazy
+        # compile mid-serving costs ~90 s on remote-compile rigs.
         self.slot_bucketing = slot_bucketing
         # device_latents=True resolves futures with (tokens, latent_row, n)
         # where latent_row is the full [T_audio, D] row still on device —
@@ -152,7 +154,7 @@ class DecodeEngine:
         self.stats = {
             "blocks": 0, "dispatch_s": 0.0, "status_wait_s": 0.0,
             "insert_s": 0.0, "harvest_s": 0.0, "occupancy_sum": 0,
-            "idle_waits": 0, "loop_other_s": 0.0,
+            "idle_waits": 0, "loop_other_s": 0.0, "migrations": 0,
         }
         self._runner: Optional[asyncio.Task] = None
         self._wake = asyncio.Event()
@@ -301,19 +303,60 @@ class DecodeEngine:
                     return min(self.stream_block_steps, self.steps_per_sync)
         return self.steps_per_sync
 
+    def _slot_buckets(self) -> tuple[int, ...]:
+        """Ascending static slot-bound buckets (quarter, half). Each
+        (n_steps, len_bound, slot_bound) combination is its own XLA program;
+        precompile() builds them all up front so none compiles mid-serving."""
+        q, h = self.num_slots // 4, self.num_slots // 2
+        return tuple(b for b in (q, h) if b >= 2 and b < self.num_slots)
+
     def _slot_bucket(self) -> int | None:
         """Static bound on live slot indices: free slots are always filled
-        lowest-first, so at sustained low occupancy the decode step can skip
-        the dead high slots' KV reads and compute entirely. A single
-        half-width bucket bounds the compile-variant count (each extra
-        bucket multiplies the program set)."""
+        lowest-first (and _compact_slots re-clusters drain stragglers), so
+        at low occupancy the decode step can skip the dead high slots' KV
+        reads and compute entirely."""
         if not self.slot_bucketing or not self._slot_owner:
             return None
         worst = max(self._slot_owner) + 1
-        half = self.num_slots // 2
-        if 0 < worst <= half:
-            return half
+        for b in self._slot_buckets():
+            if worst <= b:
+                return b
         return None  # full width
+
+    def _compact_slots(self) -> bool:
+        """Migrate live slots stranded above the smallest fitting slot
+        bucket into free low slots (decode_loop.migrate_slot), so
+        _slot_bucket can return a narrow bound during drains — without this,
+        saturated workloads strand their longest-lived sequences at high
+        indices and the tail pays full-width KV reads. Runs only when the
+        queue is empty (occupancy not about to rise) and every move is
+        device-local (~0.1 ms at production size). Returns True if anything
+        moved — the caller must drop its pipelined status vector (it indexes
+        pre-move slots)."""
+        if not self.slot_bucketing or not self._slot_owner or self._queue:
+            return False
+        live = len(self._slot_owner)
+        target = next((b for b in self._slot_buckets() if live <= b), None)
+        if target is None:
+            return False
+        moved = False
+        while True:
+            worst = max(self._slot_owner)
+            if worst < target:
+                break
+            dst = next(
+                i for i in range(self.num_slots) if i not in self._slot_owner
+            )
+            if dst >= worst:
+                break
+            self.state = migrate_slot(
+                self.state, jnp.int32(worst), jnp.int32(dst)
+            )
+            self._slot_owner[dst] = self._slot_owner.pop(worst)
+            self._slot_meta[dst] = self._slot_meta.pop(worst)
+            self.stats["migrations"] += 1
+            moved = True
+        return moved
 
     def _len_bucket(self) -> int | None:
         """Static attention-read bound: smallest bucket safely above every
@@ -328,6 +371,40 @@ class DecodeEngine:
             if worst < b:
                 return b
         return None  # full length
+
+    def precompile(self) -> None:
+        """AOT-compile (lower + compile, never execute) every decode-block
+        executable the runner can dispatch — the (n_steps, len_bound,
+        slot_bound) cross product, plus migrate_slot when bucketing is on —
+        so no program compiles mid-serving. On remote-compile rigs a lazy
+        compile costs ~90 s; the persistent disk cache makes this a one-time
+        cost per configuration."""
+        step_set = sorted(
+            {min(self.stream_block_steps, self.steps_per_sync), self.steps_per_sync}
+        )
+        slot_set: list = [None]
+        if self.slot_bucketing:
+            slot_set += list(self._slot_buckets())
+        len_set = [b for b in self.LEN_BUCKETS if b <= self.cfg.max_seq_len]
+        if not len_set or len_set[-1] < self.cfg.max_seq_len:
+            len_set = len_set + [None]
+        n = 0
+        t0 = time.perf_counter()
+        for n_steps in step_set:
+            for sb in slot_set:
+                for lb in len_set:
+                    decode_steps_status.lower(
+                        self.params, self.cfg, self.state,
+                        n_steps=n_steps, len_bound=lb, slot_bound=sb,
+                    ).compile()
+                    n += 1
+        if self.slot_bucketing:
+            migrate_slot.lower(self.state, jnp.int32(0), jnp.int32(0)).compile()
+            n += 1
+        logger.info(
+            "decode programs precompiled: %d executables in %.1f s",
+            n, time.perf_counter() - t0,
+        )
 
     def _prompt_dtype(self):
         cache_dtype = self.state.cache.k.dtype
@@ -593,6 +670,8 @@ class DecodeEngine:
                             self._insert_batch(chunk, b)
             if inserted:
                 pending_status = None  # state advanced; old status is stale
+            if self._compact_slots():
+                pending_status = None  # packed vector indexes pre-move slots
             st["insert_s"] += time.perf_counter() - t0
 
             if not self._slot_owner and not self._queue:

@@ -72,7 +72,12 @@ def build_engine():
         # flat-layout KV is ~4.7 GiB at 64 slots; chunk parallelism >> request count
         decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "64")),
         steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "64")),
+        slot_bucketing=os.environ.get("BENCH_SLOT_BUCKETING", "") == "1",
     )
+    if engine.decode_engine.slot_bucketing:
+        # narrow slot-bucket programs + migrate_slot must never compile
+        # mid-measurement (precompile FIRST, then warm, then measure)
+        engine.decode_engine.precompile()
     return engine, cfg
 
 
