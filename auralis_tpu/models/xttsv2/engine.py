@@ -832,6 +832,14 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             )
 
         token_chunks = self.tokenizer.encode_with_split(request.text, request.language)
+        if not token_chunks:
+            # surface a clear, early error instead of the downstream
+            # empty-concatenate crash (the reference fails the same ugly way
+            # on empty input: combine_outputs over zero chunks)
+            raise ValueError(
+                "TTSRequest.text contains no speakable content "
+                f"(text={request.text!r})"
+            )
         options = SamplingOptions(
             temperature=request.temperature,
             top_p=request.top_p,

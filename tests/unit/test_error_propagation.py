@@ -59,3 +59,32 @@ def test_async_error_propagates(broken_tts):
 
     with pytest.raises(RuntimeError, match="synthetic decode failure"):
         tts.loop.run_until_complete(go())
+
+
+def test_empty_text_raises_clear_error():
+    """Empty / whitespace-only text must raise a clear ValueError at phase 1
+    (not the downstream numpy empty-concatenate crash), on every API shape."""
+    import tempfile
+    from pathlib import Path
+
+    from helpers import build_tiny_engine, sine_wav
+
+    from auralis_tpu import TTS, TTSRequest
+
+    engine = build_tiny_engine(max_concurrency=2)
+    tts = TTS(scheduler_max_concurrency=2).with_engine(engine)
+    try:
+        with tempfile.TemporaryDirectory() as td:
+            wav = sine_wav(Path(td) / "spk.wav")
+            for text in ("", "   ", "\n\t"):
+                with pytest.raises(ValueError, match="no speakable content"):
+                    tts.generate_speech(
+                        TTSRequest(text=text, speaker_files=[str(wav)], language="en")
+                    )
+            # streaming shape: error surfaces when the stream is consumed
+            with pytest.raises(ValueError, match="no speakable content"):
+                list(tts.generate_speech(TTSRequest(
+                    text="", speaker_files=[str(wav)], language="en", stream=True,
+                )))
+    finally:
+        tts.loop.run_until_complete(tts.shutdown())
