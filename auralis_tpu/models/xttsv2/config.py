@@ -84,6 +84,13 @@ class XTTSGPTConfig:
     # with kv_int8 (the cache write path is untouched).
     prefill_flash: bool = False
 
+    # Unroll the 30-layer loop in gpt_decode_step into straight-line code
+    # instead of lax.fori_loop: XLA can then schedule each layer's weight
+    # loads ahead of the previous layer's compute (a fori body is compiled
+    # once and cannot overlap across iterations). Costs compile time
+    # (~30x bigger step graph); measured A/B decides the default.
+    unroll_layers: bool = False
+
     # int8 decode weights (W8A8): the four block matmul weights stored int8
     # with per-(layer, output-channel) scales; activations quantized per slot
     # row at each matmul. Halves the decode step's ~720 MB/step weight stream

@@ -293,7 +293,12 @@ def gpt_prefill(
             )
         return x, cache
 
-    x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
+    if cfg.unroll_layers:
+        x, cache = embeds, cache
+        for layer in range(cfg.num_hidden_layers):
+            x, cache = body(layer, (x, cache))
+    else:
+        x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
     h_last = x[length - 1]
     return h_last, cache
 
@@ -388,7 +393,12 @@ def gpt_prefill_batched(
             )
         return x, cache
 
-    x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
+    if cfg.unroll_layers:
+        x, cache = embeds, cache
+        for layer in range(cfg.num_hidden_layers):
+            x, cache = body(layer, (x, cache))
+    else:
+        x, cache = lax.fori_loop(0, cfg.num_hidden_layers, body, (embeds, cache))
     h_last = jnp.take_along_axis(
         x, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1
     )[:, 0]
@@ -556,9 +566,11 @@ def gpt_decode_step(
             x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
         return x, cache
 
-    if cfg.flash_decode:
+    if cfg.flash_decode or cfg.unroll_layers:
         # unroll layers: straight-line pallas calls keep the cache aliasing
-        # in-place (a fori-carried cache forces per-call copies)
+        # in-place (a fori-carried cache forces per-call copies); for the
+        # XLA paths (cfg.unroll_layers) straight-line code lets the
+        # scheduler overlap layer l+1's weight loads with layer l's compute
         for layer in range(cfg.num_hidden_layers):
             x, cache = body(layer, (x, cache))
         return x, cache

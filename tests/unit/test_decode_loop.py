@@ -195,3 +195,41 @@ def test_slot_bound_matches_full_width():
     np.testing.assert_array_equal(
         np.asarray(full.tokens_buf), np.asarray(bounded.tokens_buf)
     )
+
+
+def test_unroll_layers_matches_fori():
+    """cfg.unroll_layers compiles the layer loop as straight-line code; the
+    math must match the lax.fori_loop path exactly (prefill + decode)."""
+    import dataclasses
+
+    from auralis_tpu.models.xttsv2.config import tiny_test_config
+    from auralis_tpu.models.xttsv2.gpt import (
+        gpt_decode_step,
+        gpt_prefill,
+        heads,
+        init_gpt_params,
+        make_kv_cache,
+    )
+
+    base = tiny_test_config().gpt
+    params = init_gpt_params(base, jax.random.PRNGKey(0), dtype=jnp.float32)
+    embeds = jnp.asarray(
+        0.3 * np.random.default_rng(0).standard_normal((32, base.hidden_size)),
+        jnp.float32,
+    )
+    outs = {}
+    for unroll in (False, True):
+        cfg = dataclasses.replace(base, unroll_layers=unroll)
+        cache = make_kv_cache(cfg, 2, dtype=jnp.float32)
+        h, cache = gpt_prefill(
+            params, cfg, embeds, jnp.int32(30), jnp.int32(0), cache
+        )
+        seq_lens = jnp.asarray([29, 0], jnp.int32)
+        h2, cache = gpt_decode_step(
+            params, cfg, jnp.asarray([5, 0], jnp.int32),
+            jnp.asarray([1, 0], jnp.int32), seq_lens, cache, len_bound=64,
+        )
+        logits, latent = heads(params, h2)
+        outs[unroll] = (np.asarray(h), np.asarray(logits), np.asarray(latent))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(a, b, atol=1e-5)

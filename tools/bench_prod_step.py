@@ -9,7 +9,9 @@ Usage:
   python tools/bench_prod_step.py [--slots 64] [--steps 32]
       [--bounds 256,512,1024] [--variants int8,int8+w8a8]
 
-Variant names: bf16 | int8 | w8a8 | int8+w8a8 (cache dtype / weight dtype).
+Variant names: + -joined flags — int8 (KV cache), w8a8 (decode weights),
+unroll (straight-line 30-layer body instead of lax.fori_loop); bare "bf16"
+for the no-flag baseline. E.g. --variants int8,int8+unroll.
 Sync discipline per the axon measurement pitfalls: completion is forced by a
 device_get of the packed status, never block_until_ready.
 """
@@ -57,9 +59,13 @@ def main():
     sec_per_token = 1024 / 22050
 
     for variant in args.variants.split(","):
-        kv_int8 = "int8" in variant.split("+")
-        w8a8 = "w8a8" in variant.split("+")
-        cfg = dataclasses.replace(base, kv_int8=kv_int8, decode_w8a8=w8a8)
+        flags = variant.split("+")
+        cfg = dataclasses.replace(
+            base,
+            kv_int8="int8" in flags,
+            decode_w8a8="w8a8" in flags,
+            unroll_layers="unroll" in flags,
+        )
         for bound in map(int, args.bounds.split(",")):
             state = init_decode_state(cfg, S, jax.random.PRNGKey(1))
             fill = max(2, bound - (args.rounds + 1) * args.steps - 2)
