@@ -133,6 +133,19 @@ def main() -> None:
         wall = time.time() - t0
         audio_seconds = sum(len(o.array) for o in outs) / 24000.0
         rtf = min(rtf, wall / max(audio_seconds, 1e-9))
+    de = engine.decode_engine
+    st = dict(de.stats)
+    if st["blocks"]:
+        # runner telemetry on stderr (the stdout contract is ONE JSON line):
+        # avg occupancy exposes the slot-fill tax, migrations the compaction
+        # activity under slot bucketing
+        print(
+            f"[runner] blocks={st['blocks']} avg_occupancy="
+            f"{st['occupancy_sum'] / st['blocks']:.1f}/{de.num_slots} "
+            f"migrations={st['migrations']} insert_s={st['insert_s']:.2f} "
+            f"status_wait_s={st['status_wait_s']:.2f}",
+            file=sys.stderr,
+        )
     tts.loop.run_until_complete(tts.shutdown())
 
     print(
