@@ -197,3 +197,63 @@ def test_precompile_runs(model):
 
     tokens, latents = asyncio.run(go())
     assert len(tokens) >= 1
+
+
+def test_streaming_survivor_migrates_cleanly(model, slow_blocks):
+    """A STREAMING request that gets compacted mid-stream: snapshots keep
+    flowing from its new slot and the final result equals a solo streaming
+    run (greedy). Exercises _push_stream_snapshots + harvest across the
+    owner-map remap."""
+    cfg, params = model
+    greedy = SamplingOptions(do_sample=False)
+    prompts = [_prompt(params, cfg, seed=40 + i) for i in range(6)]
+
+    async def run(streamed_engine_kwargs, cancel_others):
+        engine = DecodeEngine(
+            params, cfg, cache_dtype=jnp.float32, num_slots=8,
+            **streamed_engine_kwargs,
+        )
+        q: asyncio.Queue = asyncio.Queue()
+        others = []
+        if cancel_others:
+            # submit the five victims FIRST so the streamer (submitted last)
+            # slots at index 5, then cancel them once everyone owns a slot —
+            # the stranded streamer must migrate down
+            others = [
+                asyncio.ensure_future(engine.generate(p, greedy))
+                for p in prompts[:5]
+            ]
+        task = asyncio.ensure_future(
+            engine.generate(prompts[5], greedy, stream_queue=q)
+        )
+        if cancel_others:
+            t0 = time.monotonic()
+            while len(engine._slot_owner) < 6:
+                if time.monotonic() - t0 > 60:
+                    raise AssertionError("slots never filled")
+                await asyncio.sleep(0.005)
+            for t in others:
+                t.cancel()
+        snapshots = []
+        while True:
+            row, n, final = await q.get()
+            snapshots.append(n)
+            if final:
+                break
+        tokens, latents = await task
+        migrations = engine.stats["migrations"]
+        await engine.shutdown()
+        return tokens, latents, snapshots, migrations
+
+    want_tokens, want_latents, want_snaps, _ = asyncio.run(
+        run(dict(), cancel_others=False)
+    )
+    got_tokens, got_latents, got_snaps, migrations = asyncio.run(
+        run(dict(slot_bucketing=True), cancel_others=True)
+    )
+    assert migrations >= 1, "streamed survivor was never compacted"
+    np.testing.assert_array_equal(got_tokens, want_tokens)
+    np.testing.assert_allclose(got_latents, want_latents, atol=1e-5)
+    # snapshot n-counts are monotonically non-decreasing and end at the total
+    assert got_snaps == sorted(got_snaps)
+    assert got_snaps[-1] == len(want_tokens) or got_snaps[-1] == len(want_tokens) + 1
