@@ -309,9 +309,21 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # already rides near roofline, so halving it buys only ~4%
         # (8.56 -> 8.21 ms/step at 64 slots / bound 1024,
         # tools/bench_prod_step.py) while latent SNR drops 45.9 -> 39.5 dB
-        # (test_w8a8.py vs test_kv_int8.py). Below the default bar; the knob
-        # stays for HBM-tighter configs (the int8 copy also halves decode
-        # weight residency).
+        # (test_w8a8.py vs test_kv_int8.py). Below the default bar. Note the
+        # int8 copy is IN ADDITION to the bf16 blocks (prefill reads those),
+        # so total weight residency grows ~50% — the knob trades HBM for the
+        # ~4% step-bandwidth win, not the reverse.
+        if decode_w8a8 and tensor_parallel_size > 1:
+            # blocks_q8 has no sharding specs (it would replicate on every
+            # device) and the per-row activation quantize reduces over the
+            # model-sharded lane axis — the same collective trap that keeps
+            # kv_int8 off under TP. Refuse rather than silently regress.
+            logger.warning(
+                "decode_w8a8 is unsupported under tensor parallelism "
+                "(int8 weights would replicate per device and activation "
+                "quantization forces per-layer collectives); disabling."
+            )
+            decode_w8a8 = False
         if decode_w8a8 is not None and decode_w8a8 != gpt_config.decode_w8a8:
             gpt_config = dataclasses.replace(gpt_config, decode_w8a8=decode_w8a8)
         self.gpt_config = gpt_config
@@ -460,22 +472,12 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 or hifigan["conv_pre_w"].dtype != jnp.bfloat16
             ):
                 return None, None
-            from ...ops.mrf import PackedMRFStage, PackedResblock
-            from .hifigan import RESBLOCK_KERNELS, UPSAMPLE_RATES
+            from ...ops.mrf import pack_hifigan_mrf
+            from .hifigan import RESBLOCK_KERNELS
 
-            packed = []
-            stages = []
-            for i in range(len(UPSAMPLE_RATES)):
-                blocks = []
-                c = None
-                for j, k in enumerate(RESBLOCK_KERNELS):
-                    p = hifigan["resblocks"][i * len(RESBLOCK_KERNELS) + j]
-                    c = int(p["convs1"][0]["w"].shape[1])
-                    packed.append(PackedResblock(p, k, c, dtype=jnp.bfloat16))
-                    blocks.append(p)
-                stage = PackedMRFStage(blocks, RESBLOCK_KERNELS, c, dtype=jnp.bfloat16)
-                # t_tile is None when no tile fits the VMEM budget (stage 0)
-                stages.append(stage if stage.t_tile is not None else None)
+            packed, stages = pack_hifigan_mrf(
+                hifigan["resblocks"], RESBLOCK_KERNELS, dtype=jnp.bfloat16
+            )
             logger.info(
                 "fused Pallas MRF enabled (%d resblocks packed, %d stages merged)",
                 len(packed), sum(s is not None for s in stages),

@@ -109,125 +109,20 @@ def _chain_halo(offset_lists) -> int:
     return -(-r // 8) * 8
 
 
-# -------------------------------------------------------------------- kernel
-
-def _make_kernel(conv_shapes, c: int, t_tile: int, halo: int, out_dtype,
-                 t_true: int, fold: int):
-    """conv_shapes: 6-tuple of tap-offset tuples (static)."""
-    lt = t_tile + 2 * halo
-    n_conv = len(conv_shapes)
-
-    def body(x_hbm, *refs):
-        weight_refs = refs[: 2 * n_conv]  # (w, b) per conv
-        out_ref = refs[2 * n_conv]
-        x_buf = refs[2 * n_conv + 1]   # [LT, C]
-        a_ref = refs[2 * n_conv + 2]   # [LT, max_taps*C]
-        sem = refs[2 * n_conv + 3]
-
-        bb = pl.program_id(0)
-        tt = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(tt * t_tile, lt)], x_buf, sem
-        )
-        cp.start()
-        cp.wait()
-
-        # per-conv zero outside the true sequence (XLA pads every conv at
-        # the boundary; our padded rows would otherwise carry bias/residual
-        # values). With folding, validity is per (row, lane-group).
-        row = lax.broadcasted_iota(jnp.int32, (lt, c), 0) + (tt * t_tile - halo)
-        if fold > 1:
-            f_of_lane = lax.broadcasted_iota(jnp.int32, (lt, c), 1) // (c // fold)
-            g = row * fold + f_of_lane
-            seq_mask = (g >= 0) & (g < t_true)
-        else:
-            seq_mask = (row >= 0) & (row < t_true)
-
-        def conv(t_buf, offsets, w_ref, b_ref):
-            t_buf = jnp.where(seq_mask, t_buf, 0)
-            for j, off in enumerate(offsets):
-                dst_lo = max(0, -off)
-                src_lo = max(0, off)
-                length = lt - abs(off)
-                if dst_lo > 0:
-                    a_ref[0:dst_lo, j * c:(j + 1) * c] = jnp.zeros(
-                        (dst_lo, c), a_ref.dtype
-                    )
-                a_ref[dst_lo:dst_lo + length, j * c:(j + 1) * c] = t_buf[
-                    src_lo:src_lo + length, :
-                ]
-                if dst_lo + length < lt:
-                    a_ref[dst_lo + length:lt, j * c:(j + 1) * c] = jnp.zeros(
-                        (lt - dst_lo - length, c), a_ref.dtype
-                    )
-            kc = len(offsets) * c
-            y = jnp.dot(
-                a_ref[:, :kc], w_ref[:], preferred_element_type=jnp.float32
-            )
-            return y + b_ref[:].astype(jnp.float32)
-
-        y = x_buf[:].astype(jnp.float32)
-        for it in range(n_conv // 2):
-            o1 = conv_shapes[2 * it]
-            o2 = conv_shapes[2 * it + 1]
-            w1, b1 = weight_refs[4 * it], weight_refs[4 * it + 1]
-            w2, b2 = weight_refs[4 * it + 2], weight_refs[4 * it + 3]
-            t = _lrelu(y).astype(x_buf.dtype)
-            h = conv(t, o1, w1, b1)
-            t2 = _lrelu(h).astype(x_buf.dtype)
-            h2 = conv(t2, o2, w2, b2)
-            y = y + h2
-        out_ref[0] = y[halo:halo + t_tile, :].astype(out_dtype)
-
-    return body
-
-
-def _run_fused(x, convs, halo, t_true, fold, t_tile, interpret):
-    b, t, c = x.shape
-    n_tiles = -(-t // t_tile)
-    t_pad = n_tiles * t_tile
-    xp = jnp.pad(x, ((0, 0), (halo, halo + (t_pad - t)), (0, 0)))
-    lt = t_tile + 2 * halo
-    max_taps = max(len(cv[0]) for cv in convs)
-
-    weight_arrays, weight_specs = [], []
-    for offs, w, bias in convs:
-        weight_arrays.append(w.astype(x.dtype))
-        weight_arrays.append(bias.astype(x.dtype))
-        weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        weight_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-
-    body = _make_kernel(
-        tuple(cv[0] for cv in convs), c, t_tile, halo, x.dtype, t_true, fold
-    )
-    out = pl.pallas_call(
-        body,
-        grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
-        out_specs=pl.BlockSpec((1, t_tile, c), lambda bb, tt: (bb, tt, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((lt, c), x.dtype),
-            pltpu.VMEM((lt, max_taps * c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(xp, *weight_arrays)
-    return out[:, :t, :]
-
-
 # ------------------------------------------------- merged MRF stage kernel
 
 def _make_stage_kernel(chain_shapes, c: int, t_tile: int, halo: int,
                        out_dtype, t_true: int, fold: int):
-    """Like _make_kernel, but runs N resblock chains over the SAME x tile and
-    emits their mean: the tile is DMA'd once (vs once per block), the mean
-    needs no XLA pass over three block outputs, and the grid has a third of
-    the programs. chain_shapes: tuple of per-chain 6-tuples of tap offsets.
+    """Kernel body over N resblock chains sharing one x tile: the tile is
+    DMA'd once (vs once per chain), the mean needs no XLA pass over the
+    chain outputs, and the grid runs 1/N of the programs.
+    chain_shapes: tuple of per-chain 6-tuples of tap offsets. N=1 is the
+    plain per-resblock kernel (the mean epilogue is then an exact identity:
+    cast -> f32 -> /1 -> cast back).
 
-    Bit-exactness with the 3-call path: each chain's result is cast to the
-    block output dtype before the f32 mean — exactly what the unmerged
-    kernel + XLA mean compute."""
+    Bit-exactness of the merged form vs N separate calls: each chain's
+    result is cast to the block output dtype before the f32 mean — exactly
+    what the unmerged kernels + XLA mean compute."""
     lt = t_tile + 2 * halo
     n_chains = len(chain_shapes)
     n_conv = len(chain_shapes[0])
@@ -357,7 +252,9 @@ class PackedResblock:
 
     def __call__(self, x: jax.Array, t_tile: int = 512,
                  interpret: bool = False) -> jax.Array:
-        """x [B, T, C] -> [B, T, C], equal to the XLA _resblock1."""
+        """x [B, T, C] -> [B, T, C], equal to the XLA _resblock1. Runs the
+        shared stage kernel with a single chain (the mean epilogue is an
+        exact identity at N=1)."""
         b, t, c = x.shape
         assert c == self.c
         if self.fold > 1:
@@ -365,9 +262,11 @@ class PackedResblock:
             t_fold = -(-t // f)
             xpad = jnp.pad(x, ((0, 0), (0, t_fold * f - t), (0, 0)))
             xf = xpad.reshape(b, t_fold, f * c)
-            out = _run_fused(xf, self.convs, self.halo, t, f, t_tile, interpret)
+            out = _run_fused_stage(
+                xf, [self.convs], self.halo, t, f, t_tile, interpret
+            )
             return out.reshape(b, t_fold * f, c)[:, :t, :]
-        return _run_fused(x, self.convs, self.halo, t, 1, t_tile, interpret)
+        return _run_fused_stage(x, [self.convs], self.halo, t, 1, t_tile, interpret)
 
 
 class PackedMRFStage:
@@ -440,3 +339,28 @@ class PackedMRFStage:
             )
             return out.reshape(b, t_fold * f, c)[:, :t, :]
         return _run_fused_stage(x, self.chains, self.halo, t, 1, t_tile, interpret)
+
+
+def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
+    """Pack a HiFi-GAN generator's full MRF (stages x kernels resblock param
+    dicts, as in params['resblocks']) into the serving kernel set.
+
+    Returns (packed_resblocks, packed_stages): one PackedResblock per block
+    always, plus a PackedMRFStage per stage where its 18-conv weight set
+    fits VMEM (None otherwise — stage 0 at C=256 doesn't). This is THE
+    packing recipe: the engine, the profiler and the vocoder benchmark all
+    call it so they measure the same configuration serving runs."""
+    n = len(kernels)
+    assert len(resblocks) % n == 0
+    packed, stages = [], []
+    for i in range(len(resblocks) // n):
+        blocks = []
+        c = None
+        for j, k in enumerate(kernels):
+            p = resblocks[i * n + j]
+            c = int(p["convs1"][0]["w"].shape[1])
+            packed.append(PackedResblock(p, k, c, dtype=dtype))
+            blocks.append(p)
+        stage = PackedMRFStage(blocks, kernels, c, dtype=dtype)
+        stages.append(stage if stage.t_tile is not None else None)
+    return packed, stages

@@ -385,9 +385,11 @@ class DecodeEngine:
         slot_set: list = [None]
         if self.slot_bucketing:
             slot_set += list(self._slot_buckets())
-        len_set = [b for b in self.LEN_BUCKETS if b <= self.cfg.max_seq_len]
-        if not len_set or len_set[-1] < self.cfg.max_seq_len:
-            len_set = len_set + [None]
+        # exactly the image of _len_bucket(): every LEN_BUCKET plus None
+        # (worst >= LEN_BUCKETS[-1] dispatches full length) — filtering by
+        # max_seq_len here once left the runner's actual dispatch values
+        # uncompiled and reintroduced the mid-serving compile stall
+        len_set = list(self.LEN_BUCKETS) + [None]
         n = 0
         t0 = time.perf_counter()
         for n_steps in step_set:

@@ -35,7 +35,7 @@ from auralis_tpu.models.xttsv2.hifigan import (
     hifi_decoder,
     init_hifigan_params,
 )
-from auralis_tpu.ops.mrf import PackedMRFStage, PackedResblock
+from auralis_tpu.ops.mrf import pack_hifigan_mrf
 
 
 def _drain(y):
@@ -52,21 +52,6 @@ def _time(fn, *args, n=5):
     return (time.perf_counter() - t0) / n
 
 
-def build_packed(params, dtype):
-    packed, stages = [], []
-    for i in range(len(UPSAMPLE_RATES)):
-        blocks = []
-        c = None
-        for j, k in enumerate(RESBLOCK_KERNELS):
-            p = params["resblocks"][i * 3 + j]
-            c = int(p["convs1"][0]["w"].shape[1])
-            packed.append(PackedResblock(p, k, c, dtype=dtype))
-            blocks.append(p)
-        st = PackedMRFStage(blocks, RESBLOCK_KERNELS, c, dtype=dtype)
-        stages.append(st if st.t_tile is not None else None)
-    return packed, stages
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--buckets", default="256,384,640")
@@ -80,10 +65,16 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu and set(args.forms.split(",")) - {"xla"}:
+        # the Pallas kernels are Mosaic/TPU-only (interpret mode at these
+        # shapes is impractically slow) — off-chip only the XLA form runs
+        print("off-chip backend: forcing --forms xla", file=sys.stderr)
+        args.forms = "xla"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
     print(f"backend: {jax.default_backend()}  dtype: {dtype.__name__}")
     params = init_hifigan_params(jax.random.PRNGKey(0), dtype=dtype)
-    packed, stages = build_packed(params, dtype)
+    packed, stages = pack_hifigan_mrf(params["resblocks"], RESBLOCK_KERNELS, dtype=dtype)
     print("merged-stage tiles:", [s.t_tile if s else None for s in stages])
 
     kw = {

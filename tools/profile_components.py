@@ -300,19 +300,12 @@ def main():
     )
     packed = stages = None
     if on_tpu:
-        from auralis_tpu.models.xttsv2.hifigan import RESBLOCK_KERNELS, UPSAMPLE_RATES
-        from auralis_tpu.ops.mrf import PackedMRFStage, PackedResblock
+        from auralis_tpu.models.xttsv2.hifigan import RESBLOCK_KERNELS
+        from auralis_tpu.ops.mrf import pack_hifigan_mrf
 
-        packed, stages = [], []
-        for i in range(len(UPSAMPLE_RATES)):
-            blocks = []
-            for j, k in enumerate(RESBLOCK_KERNELS):
-                p = hp["resblocks"][i * 3 + j]
-                c = int(p["convs1"][0]["w"].shape[1])
-                packed.append(PackedResblock(p, k, c, dtype=voc_dtype))
-                blocks.append(p)
-            st = PackedMRFStage(blocks, RESBLOCK_KERNELS, c, dtype=voc_dtype)
-            stages.append(st if st.t_tile is not None else None)
+        packed, stages = pack_hifigan_mrf(
+            hp["resblocks"], RESBLOCK_KERNELS, dtype=voc_dtype
+        )
     voc = jax.jit(lambda p, l, g: hifi_decoder(
         p, l, g, ar_mel_length_compression=1024, output_hop_length=256,
         input_sample_rate=22050, output_sample_rate=24000,
