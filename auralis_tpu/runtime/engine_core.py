@@ -314,7 +314,14 @@ class DecodeEngine:
         """Static bound on live slot indices: free slots are always filled
         lowest-first (and _compact_slots re-clusters drain stragglers), so
         at low occupancy the decode step can skip the dead high slots' KV
-        reads and compute entirely."""
+        reads and compute entirely.
+
+        Sampling note: the in-graph sampler draws gumbel noise shaped
+        [slot_bound, V], so a slot's SAMPLED trajectory depends on the
+        bound in effect (equally-distributed draws either way — the
+        trajectories are interchangeable, not reproducible across bucketing
+        modes). Greedy decoding is invariant, which is what the equality
+        tests pin."""
         if not self.slot_bucketing or not self._slot_owner:
             return None
         worst = max(self._slot_owner) + 1
