@@ -112,7 +112,8 @@ def _chain_halo(offset_lists) -> int:
 # ------------------------------------------------- merged MRF stage kernel
 
 def _make_stage_kernel(chain_shapes, c: int, t_tile: int, halo: int,
-                       out_dtype, t_true: int, fold: int):
+                       out_dtype, t_true: int, fold: int,
+                       emit: str = "mean"):
     """Kernel body over N resblock chains sharing one x tile: the tile is
     DMA'd once (vs once per chain), the mean needs no XLA pass over the
     chain outputs, and the grid runs 1/N of the programs.
@@ -192,12 +193,19 @@ def _make_stage_kernel(chain_shapes, c: int, t_tile: int, halo: int,
             # the block dtype before XLA's f32 mean
             yb = y[halo:halo + t_tile, :].astype(out_dtype).astype(jnp.float32)
             acc = yb if acc is None else acc + yb
-        out_ref[0] = (acc / n_chains).astype(out_dtype)
+        if emit == "sum_f32":
+            # partial-stage form: emit the exact f32 running sum so the
+            # caller can fold in the remaining blocks' outputs in the SAME
+            # association order XLA's mean uses (((z1+z2)+z3)/3)
+            out_ref[0] = acc
+        else:
+            out_ref[0] = (acc / n_chains).astype(out_dtype)
 
     return body
 
 
-def _run_fused_stage(x, chains, halo, t_true, fold, t_tile, interpret):
+def _run_fused_stage(x, chains, halo, t_true, fold, t_tile, interpret,
+                     emit: str = "mean"):
     """chains: list of per-block conv lists (as from pack/fold_resblock_params)."""
     b, t, c = x.shape
     n_tiles = -(-t // t_tile)
@@ -216,14 +224,15 @@ def _run_fused_stage(x, chains, halo, t_true, fold, t_tile, interpret):
 
     body = _make_stage_kernel(
         tuple(tuple(cv[0] for cv in convs) for convs in chains),
-        c, t_tile, halo, x.dtype, t_true, fold,
+        c, t_tile, halo, x.dtype, t_true, fold, emit,
     )
+    out_dtype = jnp.float32 if emit == "sum_f32" else x.dtype
     out = pl.pallas_call(
         body,
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + weight_specs,
         out_specs=pl.BlockSpec((1, t_tile, c), lambda bb, tt: (bb, tt, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((lt, c), x.dtype),
             pltpu.VMEM((lt, max_taps * c), x.dtype),
@@ -341,15 +350,74 @@ class PackedMRFStage:
         return _run_fused_stage(x, self.chains, self.halo, t, 1, t_tile, interpret)
 
 
+class PackedMRFStageSplit:
+    """Partial stage merge for stages whose FULL 3-block weight set exceeds
+    VMEM (stage 0 at C=256, ~17 MiB): the first `n_merged` blocks run as one
+    kernel emitting their exact f32 running sum, the tail blocks run their
+    per-block kernels, and the mean folds together in XLA in the SAME
+    association order the unmerged path uses (((z1+z2)+z3)/3) — output is
+    bit-identical to three separate calls. One x read is still saved per
+    merged block beyond the first."""
+
+    def __init__(self, blocks: list, kernels, c: int, dtype=None,
+                 vmem_budget: int = 14 * 2**20):
+        assert len(blocks) >= 2
+        self.n_total = len(blocks)
+        # largest mergeable prefix (>= 2 blocks) that fits the budget
+        self.head: PackedMRFStage | None = None
+        self.n_merged = 0
+        for n in range(len(blocks) - 1, 1, -1):
+            cand = PackedMRFStage(blocks[:n], kernels[:n], c, dtype=dtype,
+                                  vmem_budget=vmem_budget)
+            if cand.t_tile is not None:
+                self.head = cand
+                self.n_merged = n
+                break
+        self.tail = [
+            PackedResblock(p, k, c, dtype=dtype)
+            for p, k in zip(blocks[self.n_merged:], kernels[self.n_merged:])
+        ] if self.head is not None else None
+
+    @property
+    def viable(self) -> bool:
+        return self.head is not None
+
+    @property
+    def t_tile(self):
+        """Tile of the merged head (display/accounting parity with
+        PackedMRFStage)."""
+        return self.head.t_tile if self.head is not None else None
+
+    def __call__(self, x: jax.Array, interpret: bool = False) -> jax.Array:
+        h = self.head
+        if h.fold > 1:
+            f = h.fold
+            b, t, c = x.shape
+            t_fold = -(-t // f)
+            xpad = jnp.pad(x, ((0, 0), (0, t_fold * f - t), (0, 0)))
+            xf = xpad.reshape(b, t_fold, f * c)
+            s = _run_fused_stage(xf, h.chains, h.halo, t, f, h.t_tile,
+                                 interpret, emit="sum_f32")
+            s = s.reshape(b, t_fold * f, c)[:, :t, :]
+        else:
+            s = _run_fused_stage(x, h.chains, h.halo, x.shape[1], 1,
+                                 h.t_tile, interpret, emit="sum_f32")
+        for rb in self.tail:
+            s = s + rb(x, interpret=interpret).astype(jnp.float32)
+        return (s / self.n_total).astype(x.dtype)
+
+
 def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
     """Pack a HiFi-GAN generator's full MRF (stages x kernels resblock param
     dicts, as in params['resblocks']) into the serving kernel set.
 
     Returns (packed_resblocks, packed_stages): one PackedResblock per block
-    always, plus a PackedMRFStage per stage where its 18-conv weight set
-    fits VMEM (None otherwise — stage 0 at C=256 doesn't). This is THE
-    packing recipe: the engine, the profiler and the vocoder benchmark all
-    call it so they measure the same configuration serving runs."""
+    always, plus per stage the best-fitting merged form — a full
+    PackedMRFStage where all blocks fit VMEM, a PackedMRFStageSplit (merged
+    prefix + per-block tail, still bit-identical) where only a prefix does
+    (stage 0 at C=256), or None. This is THE packing recipe: the engine,
+    the profiler and the vocoder benchmark all call it so they measure the
+    same configuration serving runs."""
     n = len(kernels)
     assert len(resblocks) % n == 0
     packed, stages = [], []
@@ -362,5 +430,9 @@ def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
             packed.append(PackedResblock(p, k, c, dtype=dtype))
             blocks.append(p)
         stage = PackedMRFStage(blocks, kernels, c, dtype=dtype)
-        stages.append(stage if stage.t_tile is not None else None)
+        if stage.t_tile is None:
+            split = PackedMRFStageSplit(blocks, kernels, c, dtype=dtype)
+            stages.append(split if split.viable else None)
+        else:
+            stages.append(stage)
     return packed, stages

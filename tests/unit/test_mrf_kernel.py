@@ -173,3 +173,52 @@ def test_merged_stage_vmem_accounting():
     # stage 1 (C=128) fits
     small = PackedMRFStage([_params(rng, k, 128) for k in kernels], kernels, 128)
     assert small.vmem_bytes(t_tile=512) < 16 * 2**20
+
+
+def test_split_stage_bit_identical_to_three_calls_bf16():
+    """PackedMRFStageSplit (merged prefix emitting an exact f32 sum + tail
+    per-block kernels + XLA mean) must be BIT-identical to [three
+    PackedResblock calls -> f32 mean -> bf16] — same association order."""
+    from auralis_tpu.ops.mrf import PackedMRFStageSplit
+
+    kernels = (3, 7, 11)
+    c, t = 128, 300
+    rng = np.random.default_rng(11)
+    blocks = [_params(rng, k, c) for k in kernels]
+    x = jnp.asarray(rng.standard_normal((2, t, c)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    acc = None
+    for p, k in zip(blocks, kernels):
+        z = PackedResblock(p, k, c, dtype=jnp.bfloat16)(
+            x, interpret=True
+        ).astype(jnp.float32)
+        acc = z if acc is None else acc + z
+    want = np.asarray((acc / len(blocks)).astype(jnp.bfloat16))
+
+    split = PackedMRFStageSplit(blocks, kernels, c, dtype=jnp.bfloat16)
+    assert split.viable and split.n_merged == 2
+    got = np.asarray(split(x, interpret=True))
+    assert got.dtype == want.dtype
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pack_hifigan_mrf_stage0_gets_split():
+    """The production generator's stage 0 (C=256) exceeds full-merge VMEM
+    but must come back as a viable 2+1 split; stages 1-3 merge fully."""
+    from auralis_tpu.ops.mrf import (
+        PackedMRFStage,
+        PackedMRFStageSplit,
+        pack_hifigan_mrf,
+    )
+
+    rng = np.random.default_rng(2)
+    kernels = (3, 7, 11)
+    resblocks = []
+    for c in (256, 128, 64, 32):
+        for k in kernels:
+            resblocks.append(_params(rng, k, c))
+    packed, stages = pack_hifigan_mrf(resblocks, kernels)
+    assert len(packed) == 12 and len(stages) == 4
+    assert isinstance(stages[0], PackedMRFStageSplit) and stages[0].n_merged == 2
+    assert all(isinstance(s, PackedMRFStage) for s in stages[1:])
