@@ -233,3 +233,32 @@ def test_tokenizer_save_load(tiny_tokenizer, tmp_path):
 
     loaded = TTSTokenizer.from_pretrained(str(path))
     assert loaded.encode("hello world", "en") == tiny_tokenizer.encode("hello world", "en")
+
+
+def test_chunking_fuzz_never_loses_words():
+    """Property fuzz: for random texts (mixed punctuation, unicode words,
+    pathological run-ons) and random limits, chunking must preserve every
+    word in order and respect the softened length bound."""
+    import random
+
+    rng = random.Random(0)
+    vocab = ["word", "héllo", "mañana", "test,", "末尾", "a", "longish-token",
+             "Dr.", "No."]
+    punct = [". ", "! ", "? ", " ", ", ", "; "]
+    for trial in range(25):
+        n = rng.randint(1, 120)
+        parts = []
+        for _ in range(n):
+            parts.append(rng.choice(vocab))
+            parts.append(rng.choice(punct))
+        text = "".join(parts).strip()
+        limit = rng.choice([40, 71, 120, 250])
+        chunks = split_text_into_chunks(text, max_length=limit)
+        joined_words = [w for c in chunks for w in c.split()]
+        # softened bound: the splitter may overrun by the break-search window
+        assert all(len(c) <= limit + 31 for c in chunks), (trial, limit)
+        # chunk-final '.' is intentionally softened to a space (reference
+        # tokenizer.py:234), so compare words modulo one trailing dot
+        got = [w.rstrip(".") for w in joined_words]
+        want = [w.rstrip(".") for w in text.split()]
+        assert got == want, (trial, limit)
