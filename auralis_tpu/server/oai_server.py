@@ -169,7 +169,16 @@ def start_tts_engine(args) -> TTS:
         scheduler_max_concurrency=args.max_concurrency,
         vllm_logging_level=args.vllm_logging_level,
     )
-    return tts.from_pretrained(args.model, gpt_model=args.gpt_model)
+    kwargs = {}
+    if getattr(args, "decode_slots", None) is not None:
+        kwargs["decode_slots"] = args.decode_slots
+    if getattr(args, "tensor_parallel_size", 1) != 1:
+        kwargs["tensor_parallel_size"] = args.tensor_parallel_size
+    if getattr(args, "data_parallel_replicas", 1) != 1:
+        kwargs["data_parallel_replicas"] = args.data_parallel_replicas
+    if getattr(args, "slot_bucketing", False):
+        kwargs["slot_bucketing"] = True
+    return tts.from_pretrained(args.model, gpt_model=args.gpt_model, **kwargs)
 
 
 def main(argv: Optional[list] = None) -> None:
@@ -187,6 +196,24 @@ def main(argv: Optional[list] = None) -> None:
         "--warmup", action="store_true",
         help="precompile every serving program before accepting traffic "
              "(one-time boot cost; first requests are otherwise slow)",
+    )
+    parser.add_argument(
+        "--decode_slots", type=int, default=None,
+        help="concurrent decode sequences per chip (default 2x concurrency; "
+             "clamped to the chip's HBM budget at boot)",
+    )
+    parser.add_argument(
+        "--tensor_parallel_size", type=int, default=1,
+        help="shard attention heads/MLP over N chips (latency knob)",
+    )
+    parser.add_argument(
+        "--data_parallel_replicas", type=int, default=1,
+        help="independent engine replicas across local chips (throughput knob)",
+    )
+    parser.add_argument(
+        "--slot_bucketing", action="store_true",
+        help="narrow (quarter/half-width) decode programs at low occupancy "
+             "with automatic slot compaction; use with --warmup",
     )
     args = parser.parse_args(argv)
 
