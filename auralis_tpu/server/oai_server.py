@@ -158,6 +158,15 @@ def build_app(tts: TTS) -> web.Application:
     app.router.add_post("/v1/audio/speech", handle_audio_speech)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
     app.router.add_get("/health", handle_health)
+
+    async def _shutdown_engine(app: web.Application) -> None:
+        # drain the scheduler + decode runner on server exit (reference
+        # awaits tts_engine.shutdown() in its lifespan, oai_server.py:35);
+        # the engine quiesces rather than closes, so embedding callers can
+        # still reuse it after the app stops
+        await app[TTS_ENGINE_KEY].shutdown()
+
+    app.on_cleanup.append(_shutdown_engine)
     return app
 
 
