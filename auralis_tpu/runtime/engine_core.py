@@ -150,11 +150,12 @@ class DecodeEngine:
         self._slot_owner: dict[int, _Pending] = {}
         self._slot_meta: dict[int, dict] = {}
         self._steps_total = 0
-        # runner telemetry (reset with reset_stats): where wall time goes
+        # runner telemetry (reset by zeroing in place, as stream_ttfa does):
+        # where wall time goes
         self.stats = {
             "blocks": 0, "dispatch_s": 0.0, "status_wait_s": 0.0,
             "insert_s": 0.0, "harvest_s": 0.0, "occupancy_sum": 0,
-            "idle_waits": 0, "loop_other_s": 0.0, "migrations": 0,
+            "idle_waits": 0, "migrations": 0,
         }
         self._runner: Optional[asyncio.Task] = None
         self._wake = asyncio.Event()
@@ -180,6 +181,19 @@ class DecodeEngine:
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
         embeds = np.asarray(embeds)
+        # validate HERE so a malformed prompt fails only its own request —
+        # inside the runner it would crash the shared loop and fail every
+        # concurrent waiter
+        if embeds.ndim != 2 or embeds.shape[1] != self.cfg.hidden_size:
+            raise ValueError(
+                f"embeds must be [T, {self.cfg.hidden_size}], got {embeds.shape}"
+            )
+        max_prompt = self.cfg.max_seq_len - 1  # one position for start-audio
+        if not 1 <= embeds.shape[0] <= max_prompt:
+            raise ValueError(
+                f"prompt length {embeds.shape[0]} outside [1, {max_prompt}] "
+                f"(cfg.max_seq_len={self.cfg.max_seq_len})"
+            )
         length = int(embeds.shape[0])
         # NOTE (negative result): pre-staging the prompt on device at
         # enqueue time — on-loop or via executor threads — regressed burst
@@ -215,16 +229,39 @@ class DecodeEngine:
         self._closed = True
         self._wake.set()
         if self._runner is not None:
-            self._runner.cancel()
+            runner = self._runner
+            runner.cancel()
             try:
-                await self._runner
-            except (asyncio.CancelledError, Exception):
+                await runner
+            except asyncio.CancelledError:
+                if not runner.cancelled():
+                    # the CALLER was cancelled (e.g. wait_for timeout), not
+                    # the runner — propagate instead of swallowing, or the
+                    # caller's cancellation silently disappears
+                    raise
+            except Exception:
                 pass
             self._runner = None
-        for pending in self._queue:
+        # cancel EVERY waiter — queued and slotted alike (slotted futures
+        # previously hung forever); streaming consumers get the poison
+        # sentinel directing them to the cancelled future
+        for pending in list(self._queue) + list(self._slot_owner.values()):
             if not pending.future.done():
                 pending.future.cancel()
+            if pending.stream_queue is not None:
+                try:
+                    pending.stream_queue.put_nowait((None, 0, True))
+                except asyncio.QueueFull:
+                    pass
         self._queue.clear()
+        if self._slot_owner:
+            # release the abandoned device slots so a reopened engine
+            # doesn't keep decoding orphaned sequences
+            mask = np.zeros((self.num_slots,), bool)
+            mask[list(self._slot_owner)] = True
+            self.state = release_slots(self.state, jnp.asarray(mask))
+            self._slot_owner.clear()
+            self._slot_meta.clear()
 
     @property
     def num_active(self) -> int:
@@ -265,7 +302,11 @@ class DecodeEngine:
             except RuntimeError:
                 pass  # stale future from a closed event loop
             if pending.stream_queue is not None:
-                pending.stream_queue.put_nowait((None, 0, True))
+                try:
+                    pending.stream_queue.put_nowait((None, 0, True))
+                except asyncio.QueueFull:
+                    pass  # bounded caller queue: don't abort the sweep —
+                    # the consumer still fails via the poisoned future
         self._slot_owner.clear()
         self._slot_meta.clear()
         self._queue.clear()
@@ -436,11 +477,14 @@ class DecodeEngine:
             if pending.embeds_dev is not None or pending.staging:
                 continue
             pending.staging = True
-            arr, dt = self._pad_prompt(pending), self._prompt_dtype()
+            dt = self._prompt_dtype()
 
-            def stage(p=pending, a=arr, d=dt):
+            def stage(p=pending, d=dt):
                 try:
-                    p.embeds_dev = jnp.asarray(a, d)
+                    # pad INSIDE the executor job: the ~2 MB alloc+memcpy
+                    # would otherwise run on the latency-critical runner
+                    # loop right before the status fetch
+                    p.embeds_dev = jnp.asarray(self._pad_prompt(p), d)
                 except Exception:
                     p.embeds_dev = None  # _insert falls back to host path
                 finally:
@@ -618,8 +662,22 @@ class DecodeEngine:
                 except RuntimeError:
                     pass  # future's loop already closed (stale cross-loop request)
             if pending.stream_queue is not None:
-                # final snapshot: marks completion with the authoritative n
-                pending.stream_queue.put_nowait((latents_row, n, True))
+                # final snapshot: marks completion with the authoritative n.
+                # On a bounded caller queue that's full, evict stale
+                # non-final snapshots (mailbox semantics) rather than abort
+                # the sweep and hang the remaining waiters
+                try:
+                    pending.stream_queue.put_nowait((latents_row, n, True))
+                except asyncio.QueueFull:
+                    while not pending.stream_queue.empty():
+                        try:
+                            pending.stream_queue.get_nowait()
+                        except asyncio.QueueEmpty:
+                            break
+                    try:
+                        pending.stream_queue.put_nowait((latents_row, n, True))
+                    except asyncio.QueueFull:
+                        pass  # zero-capacity queue: future still resolves
 
     async def _run(self) -> None:
         """Pipelined decode loop: dispatch decode block k+1 before reading
@@ -712,9 +770,10 @@ class DecodeEngine:
                 # link): the engine's first-segment vocode then rides the
                 # same device queue as this block and its result fetch
                 # overlaps the status round-trip below
+                # every owned slot is inside the stepped bucket by
+                # construction (_slot_bucket picks the smallest bucket above
+                # max(owned)), so no slot-bound filtering is needed here
                 for slot, p in self._slot_owner.items():
-                    if slot_bound is not None and slot >= slot_bound:
-                        continue  # slot outside the stepped bucket: no steps
                     p.n_host += n_steps
                     if (
                         p.on_young_block is not None

@@ -278,3 +278,69 @@ def test_scheduler_fires_cancel_hooks_only_on_abort():
 
     assert asyncio.run(complete_case()) == [0, 1]
     assert cancelled == []
+
+
+def test_shutdown_cancels_slotted_waiters(model, slow_blocks):
+    """shutdown() must cancel futures of requests already IN SLOTS (not just
+    queued ones), push the poison sentinel to their stream queues, and
+    release the device slots so a reopened engine starts clean."""
+    cfg, params = model
+    rng = np.random.default_rng(21)
+    greedy = SamplingOptions(do_sample=False)
+
+    async def go():
+        engine = DecodeEngine(params, cfg, cache_dtype=jnp.float32, num_slots=4)
+        q: asyncio.Queue = asyncio.Queue()
+        t1 = asyncio.ensure_future(engine.generate(_prompt(params, cfg, rng), greedy))
+        t2 = asyncio.ensure_future(
+            engine.generate(_prompt(params, cfg, rng), greedy, stream_queue=q)
+        )
+        await _wait_until(lambda: len(engine._slot_owner) >= 2, msg="slots filled")
+        await engine.shutdown()
+        with pytest.raises(asyncio.CancelledError):
+            await t1
+        with pytest.raises(asyncio.CancelledError):
+            await t2
+        # poison sentinel delivered to the streaming consumer
+        row, n, final = q.get_nowait() if not q.empty() else (None, 0, True)
+        assert final
+        assert not engine._slot_owner and not engine._slot_meta
+        # reopened engine serves cleanly after the abandoned slots released
+        out = await engine.generate(_prompt(params, cfg, rng), greedy)
+        assert len(out[0]) >= 1
+        await engine.shutdown()
+
+    asyncio.run(go())
+
+
+def test_generate_rejects_malformed_prompts(model):
+    """Malformed embeds fail ONLY the offending request (clear ValueError at
+    submit) instead of crashing the shared runner."""
+    cfg, params = model
+    rng = np.random.default_rng(22)
+
+    async def go():
+        engine = DecodeEngine(params, cfg, cache_dtype=jnp.float32, num_slots=2)
+        with pytest.raises(ValueError, match="embeds must be"):
+            await engine.generate(np.zeros((16,), np.float32), SamplingOptions())
+        with pytest.raises(ValueError, match="embeds must be"):
+            await engine.generate(
+                np.zeros((16, cfg.hidden_size + 1), np.float32), SamplingOptions()
+            )
+        with pytest.raises(ValueError, match="prompt length"):
+            await engine.generate(
+                np.zeros((cfg.max_seq_len + 5, cfg.hidden_size), np.float32),
+                SamplingOptions(),
+            )
+        with pytest.raises(ValueError, match="prompt length"):
+            await engine.generate(
+                np.zeros((0, cfg.hidden_size), np.float32), SamplingOptions()
+            )
+        # the engine still serves after the rejects
+        out = await engine.generate(
+            _prompt(params, cfg, rng), SamplingOptions(do_sample=False)
+        )
+        assert len(out[0]) >= 1
+        await engine.shutdown()
+
+    asyncio.run(go())
