@@ -143,3 +143,37 @@ def integrated_loudness(audio: np.ndarray, fs: int) -> float:
     if not mask.any():
         return -np.inf
     return float(-0.691 + 10.0 * np.log10(np.mean(z[mask])))
+
+
+# --- silence trim (librosa.effects.trim semantics) ---------------------------
+
+
+def trim_silence_db(
+    audio: np.ndarray, top_db: float = 60.0,
+    frame_length: int = 2048, hop_length: int = 512,
+) -> np.ndarray:
+    """Trim leading/trailing silence below `top_db` relative to the peak
+    frame RMS (first-party librosa.effects.trim equivalent — reference
+    XTTSv2.py:450-451 uses it on voice references when librosa_trim_db is
+    set). audio: [..., T]; returns the trimmed view along the last axis.
+    All-silent input returns the input unchanged."""
+    x = np.asarray(audio, np.float32)
+    mono = x.reshape(-1, x.shape[-1]).mean(axis=0)
+    t = mono.shape[-1]
+    if t < frame_length:
+        return audio
+    n_frames = 1 + (t - frame_length) // hop_length
+    idx = (
+        np.arange(frame_length)[None, :]
+        + hop_length * np.arange(n_frames)[:, None]
+    )
+    rms = np.sqrt(np.mean(mono[idx] ** 2, axis=-1) + 1e-20)
+    db = 20.0 * np.log10(rms + 1e-20)
+    keep = np.nonzero(db > db.max() - top_db)[0]
+    if keep.size == 0:
+        return audio
+    start = int(keep[0]) * hop_length
+    # a kept FINAL frame keeps the tail remainder too (frames tile the
+    # signal with a partial last hop; trimming it would cut real content)
+    end = t if int(keep[-1]) == n_frames - 1 else int(keep[-1]) * hop_length + frame_length
+    return audio[..., start:end]

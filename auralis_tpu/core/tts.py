@@ -115,8 +115,18 @@ class TTS:
         request's `context_partial_function` (voice caching)."""
         conditioning = self.tts_engine.conditioning_config
         if conditioning.speaker_embeddings or conditioning.gpt_like_decoder_conditioning:
+            # pass the request's conditioning params so the prepared voice
+            # matches (and shares the cache entry with) the normal path —
+            # the reference's prepare path silently uses different engine
+            # defaults (30/6/6 vs the request's 60/30/4), producing a
+            # different clone depending on which path ran
             gpt_cond_latent, speaker_embeddings = await self.tts_engine.get_audio_conditioning(
-                request.speaker_files
+                request.speaker_files,
+                request.max_ref_length,
+                request.gpt_cond_len,
+                request.gpt_cond_chunk_len,
+                sound_norm_refs=request.sound_norm_refs,
+                load_sr=request.load_sample_rate,
             )
             return partial(
                 self.tts_engine.get_generation_context,

@@ -20,8 +20,6 @@ import threading
 import math
 import os
 import time
-import uuid
-from functools import partial
 from pathlib import Path
 from typing import Any, AsyncGenerator, List, Optional, Tuple, Union
 
@@ -31,13 +29,14 @@ import numpy as np
 from jax import lax
 
 from ...common import audio_io
+from ...common.dsp_np import trim_silence_db
 from ...common.logger import setup_logger
 from ...common.tracing import record as trace_record, span
 from ...common.output import TTSOutput
 from ...common.requests import TTSRequest
 from ...frontend.tokenizer import TTSTokenizer
 from ...ops.mel import wav_to_mel_cloning
-from ...ops.resample import resample_jax, resample_np
+from ...ops.resample import resample_np
 from ..base import BaseAsyncTTSEngine, ConditioningConfig
 from .config import XTTSConfig, XTTSGPTConfig, tiny_test_config
 from .gpt import init_gpt_params
@@ -313,7 +312,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # int8 copy is IN ADDITION to the bf16 blocks (prefill reads those),
         # so total weight residency grows ~50% — the knob trades HBM for the
         # ~4% step-bandwidth win, not the reverse.
-        if decode_w8a8 and tensor_parallel_size > 1:
+        if (decode_w8a8 or gpt_config.decode_w8a8) and tensor_parallel_size > 1:
             # blocks_q8 has no sharding specs (it would replicate on every
             # device) and the per-row activation quantize reduces over the
             # model-sharded lane axis — the same collective trap that keeps
@@ -666,14 +665,26 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
     # -------------------------------------------------------- conditioning
     def _speaker_fn(self, n_samples: int):
-        if n_samples not in self._spk_jits:
-            self._spk_jits[n_samples] = jax.jit(
-                lambda p, wav: speaker_encoder(p, wav, l2_norm=True)
-            )
+        # double-checked under _jit_build_lock like every jit-cache builder:
+        # concurrent to_thread callers must reuse ONE wrapper or each pays
+        # its own multi-second remote compile
+        fn = self._spk_jits.get(n_samples)
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            if n_samples not in self._spk_jits:
+                self._spk_jits[n_samples] = jax.jit(
+                    lambda p, wav: speaker_encoder(p, wav, l2_norm=True)
+                )
         return self._spk_jits[n_samples]
 
     def _cond_fn(self, n_samples: int):
-        if n_samples not in self._cond_jits:
+        fn = self._cond_jits.get(n_samples)
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            if n_samples in self._cond_jits:
+                return self._cond_jits[n_samples]
             mel_norms = self.core["mel_stats"]
 
             def run(ce, pv, wav):
@@ -763,18 +774,30 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 except OSError:
                     pass
         hasher.update(f"{max_ref_length}|{gpt_cond_len}|{gpt_cond_chunk_len}|"
-                      f"{sound_norm_refs}|{load_sr}".encode())
+                      f"{librosa_trim_db}|{sound_norm_refs}|{load_sr}".encode())
         cache_key = hasher.hexdigest()
-        if cache_key in self._cond_cache:
-            return self._cond_cache[cache_key]
+        hit = self._cond_cache.pop(cache_key, None)
+        if hit is not None:
+            # re-insert on hit: dict order is the eviction order, so this is
+            # a real LRU (plain check-and-return was FIFO — a continuously
+            # served voice could be the first evicted)
+            self._cond_cache[cache_key] = hit
+            return hit
 
         speaker_embs, audios = [], []
         for ref in refs:
-            audio = audio_io.load_audio(ref, load_sr)[:, : load_sr * max_ref_length]
-            audio = self._quantize_ref_length(audio, load_sr)
-            if sound_norm_refs:
-                audio = audio / max(np.abs(audio).max(), 1e-8) * 0.75
-            wav16 = resample_np(audio.astype(np.float32), load_sr, 16000)
+            def _load(r=ref):
+                # file decode + resample are milliseconds-to-seconds of pure
+                # host work: keep them off the serving event loop (the
+                # decode runner shares it)
+                a = audio_io.load_audio(r, load_sr)[:, : load_sr * max_ref_length]
+                if librosa_trim_db is not None:
+                    a = trim_silence_db(a, top_db=float(librosa_trim_db))
+                a = self._quantize_ref_length(a, load_sr)
+                if sound_norm_refs:
+                    a = a / max(np.abs(a).max(), 1e-8) * 0.75
+                return a, resample_np(a.astype(np.float32), load_sr, 16000)
+            audio, wav16 = await asyncio.to_thread(_load)
             emb = await asyncio.to_thread(
                 lambda w=wav16: np.asarray(
                     self._speaker_fn(w.shape[-1])(
@@ -894,7 +917,12 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
     # --------------------------------------------------------------- vocode
     def _vocoder_fn(self, bucket: int):
-        if bucket not in self._vocoder_jits:
+        fn = self._vocoder_jits.get(bucket)
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            if bucket in self._vocoder_jits:
+                return self._vocoder_jits[bucket]
             cfg = self.hifi_config
 
             def run(hp, latents, g):
@@ -1091,7 +1119,12 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         post-interp frames, and runs the generator on the slice. With PAD_PF
         >= the generator's receptive field, the emitted center equals the
         full-row output sample-for-sample."""
-        if "seg" not in self._vocoder_jits:
+        fn = self._vocoder_jits.get("seg")
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            if "seg" in self._vocoder_jits:
+                return self._vocoder_jits["seg"]
             from .hifigan import hifigan_generator
             from ...ops.interpolate import interp_linear_scale
 
@@ -1143,7 +1176,12 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         receptive field keeps the emitted center exact. ~3x less generator
         work than the generic segment window — this program sits on the
         time-to-first-audio critical path (speculative dispatch)."""
-        if "seg_first" not in self._vocoder_jits:
+        fn = self._vocoder_jits.get("seg_first")
+        if fn is not None:
+            return fn
+        with self._jit_build_lock:
+            if "seg_first" in self._vocoder_jits:
+                return self._vocoder_jits["seg_first"]
             from .hifigan import hifigan_generator
             from ...ops.interpolate import interp_linear_scale
 

@@ -224,3 +224,24 @@ def test_get_language_module_api():
     assert get_language("the quick brown fox jumps over the lazy dog") == "en"
     # zh maps to the serving code zh-cn (reference requests.py:110-112)
     assert get_language("今天天气很好我们一起去公园散步吧") == "zh-cn"
+
+
+def test_trim_silence_db():
+    """First-party librosa.effects.trim equivalent: leading/trailing silence
+    below top_db relative to the peak frame is cut; interior content kept."""
+    from auralis_tpu.common.dsp_np import trim_silence_db
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    sig = np.concatenate([np.zeros(sr, np.float32), tone, np.zeros(sr, np.float32)])
+    out = trim_silence_db(sig[None, :], top_db=40.0)
+    # trimmed to roughly the tone (frame granularity: one 2048-frame margin)
+    assert sr * 0.8 <= out.shape[-1] <= sr + 3 * 2048
+    assert np.abs(out).max() == np.abs(sig).max()
+    # all-silence input returns unchanged
+    silent = np.zeros((1, sr), np.float32)
+    assert trim_silence_db(silent, top_db=40.0).shape == silent.shape
+    # short input (sub-frame) unchanged
+    short = np.ones((1, 100), np.float32)
+    assert trim_silence_db(short).shape == short.shape
