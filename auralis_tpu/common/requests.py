@@ -155,10 +155,15 @@ class TTSRequest:
         return _enhance_cache.get_or(cache_key, compute)
 
     def copy(self) -> "TTSRequest":
-        return TTSRequest(
+        new = TTSRequest(
             text=self.text,
             speaker_files=self.speaker_files,
-            enhance_speech=self.enhance_speech,
+            # NOT self.enhance_speech: __post_init__ already replaced this
+            # request's speaker_files with enhanced temp wavs, so re-running
+            # the chain would double-filter the references (the reference's
+            # copy() has this bug, requests.py:250). The flag is restored
+            # below so downstream checks still see the caller's intent.
+            enhance_speech=False,
             audio_config=self.audio_config,
             language=self.language,
             request_id=self.request_id,
@@ -175,3 +180,8 @@ class TTSRequest:
             length_penalty=self.length_penalty,
             do_sample=self.do_sample,
         )
+        new.enhance_speech = self.enhance_speech
+        # a prepared voice (prepare_for_streaming_generation) must survive
+        # request splitting
+        new.context_partial_function = self.context_partial_function
+        return new

@@ -62,9 +62,14 @@ class TwoPhaseScheduler:
             if generator_concurrency is not None
             else 4 * second_phase_concurrency
         )
+        # request_timeout bounds phase 1 absolutely and phase 2 as an
+        # INACTIVITY timeout (max gap between successive outputs): a
+        # streaming consumer pacing at playback rate must not count against
+        # the generator, so the clock restarts at every yielded item.
         self.request_timeout = request_timeout
         self.generator_timeout = generator_timeout
         self.is_running = False
+        self._draining = False
         self.active_requests: Dict[str, QueuedRequest] = {}
         self._request_sem: Optional[asyncio.Semaphore] = None
         self._phase2_sem: Optional[asyncio.Semaphore] = None
@@ -84,6 +89,12 @@ class TwoPhaseScheduler:
         request_id: Optional[str] = None,
     ) -> AsyncGenerator[Any, None]:
         """Process one request; yields phase-2 outputs in chunk order."""
+        if self._draining:
+            # shutdown() is mid-drain: admitting a request now would swap
+            # the semaphores under in-flight holders and the drain would
+            # never wait for it. After the drain completes, run() restarts
+            # the scheduler cleanly (no holders remain).
+            raise RuntimeError("scheduler is shutting down")
         if not self.is_running:
             await self.start()
 
@@ -142,16 +153,16 @@ class TwoPhaseScheduler:
                     for i, gi in enumerate(parallel_inputs)
                 ]
 
-                deadline = (
-                    time.monotonic() + self.request_timeout if self.request_timeout else None
-                )
                 for q in queues:
                     while True:
-                        timeout = None
-                        if deadline is not None:
-                            timeout = max(0.0, deadline - time.monotonic())
+                        # inactivity timeout, restarted per output: an
+                        # absolute deadline counted the consumer's own
+                        # pacing (suspended at `yield`) as "no progress"
+                        # and aborted healthy long streams
                         try:
-                            kind, payload = await asyncio.wait_for(q.get(), timeout)
+                            kind, payload = await asyncio.wait_for(
+                                q.get(), self.request_timeout
+                            )
                         except asyncio.TimeoutError:
                             raise TimeoutError("No progress in output generation") from None
                         if kind == "item":
@@ -167,31 +178,42 @@ class TwoPhaseScheduler:
             request.state = TaskState.FAILED
             raise
         finally:
-            for t in gen_tasks:
-                if not t.done():
-                    t.cancel()
-            if gen_tasks:
-                await asyncio.gather(*gen_tasks, return_exceptions=True)
-            if request.state is not TaskState.COMPLETED:
-                # aborted / failed: invoke per-input cancel hooks so work
-                # launched in phase 1 but never consumed by a phase-2
-                # generator (cancelled before its first __anext__) doesn't
-                # keep running in the engine. Started generators already
-                # cleaned up when their task was cancelled above.
-                for gi in parallel_inputs:
-                    cancel = gi.get("cancel") if isinstance(gi, dict) else None
-                    if cancel is not None:
-                        try:
-                            cancel()
-                        except Exception:
-                            logger.exception("cancel hook failed for %s", request.id)
-            request.completion_event.set()
-            self.active_requests.pop(request.id, None)
+            try:
+                for t in gen_tasks:
+                    if not t.done():
+                        t.cancel()
+                if gen_tasks:
+                    await asyncio.gather(*gen_tasks, return_exceptions=True)
+            finally:
+                # this inner finally MUST run even if the await above is
+                # itself cancelled (second cancellation during cleanup):
+                # otherwise the cancel hooks are skipped and the leaked
+                # active_requests entry hangs shutdown()'s drain forever
+                if request.state is not TaskState.COMPLETED:
+                    # aborted / failed: invoke per-input cancel hooks so
+                    # work launched in phase 1 but never consumed by a
+                    # phase-2 generator (cancelled before its first
+                    # __anext__) doesn't keep running in the engine.
+                    # Started generators already cleaned up when their task
+                    # was cancelled above.
+                    for gi in parallel_inputs:
+                        cancel = gi.get("cancel") if isinstance(gi, dict) else None
+                        if cancel is not None:
+                            try:
+                                cancel()
+                            except Exception:
+                                logger.exception("cancel hook failed for %s", request.id)
+                request.completion_event.set()
+                self.active_requests.pop(request.id, None)
 
     async def shutdown(self) -> None:
         self.is_running = False
-        if self.active_requests:
-            await asyncio.gather(
-                *(r.completion_event.wait() for r in self.active_requests.values()),
-                return_exceptions=True,
-            )
+        self._draining = True
+        try:
+            if self.active_requests:
+                await asyncio.gather(
+                    *(r.completion_event.wait() for r in self.active_requests.values()),
+                    return_exceptions=True,
+                )
+        finally:
+            self._draining = False

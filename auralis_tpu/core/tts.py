@@ -200,26 +200,37 @@ class TTS:
     ) -> Union[AsyncGenerator[TTSOutput, None], TTSOutput]:
         self._ensure_event_loop()
         await self._materialize_text_async(request)
+        # >100k-char splitting applies on the async path too (it previously
+        # ran only in sync generate_speech, so the HTTP serving path
+        # submitted oversized requests whole — one failure domain and one
+        # scheduler deadline for a whole book)
+        requests = self.split_requests(request)
+        if not request.stream and len(requests) > 1:
+            return await self._process_multiple_requests(requests)
 
         async def process_chunks():
             chunks = []
-            agen = self.scheduler.run(
-                inputs=request,
-                request_id=request.request_id,
-                first_phase_fn=self._prepare_generation_context,
-                second_phase_fn=self._second_phase_fn,
-            )
-            try:
-                async for chunk in agen:
-                    if request.stream:
-                        yield chunk
-                    chunks.append(chunk)
-            finally:
-                # deterministic cleanup when the caller abandons the stream:
-                # async-for never acloses its source, so without this the
-                # scheduler's finally (which cancels in-flight decode work)
-                # would wait for GC/asyncgen-shutdown hooks
-                await agen.aclose()
+            for sub in requests:
+                agen = self.scheduler.run(
+                    inputs=sub,
+                    request_id=sub.request_id,
+                    first_phase_fn=self._prepare_generation_context,
+                    second_phase_fn=self._second_phase_fn,
+                )
+                try:
+                    async for chunk in agen:
+                        if request.stream:
+                            yield chunk
+                        else:
+                            # only the combining path needs the chunks; a
+                            # stream must not retain the whole waveform
+                            chunks.append(chunk)
+                finally:
+                    # deterministic cleanup when the caller abandons the
+                    # stream: async-for never acloses its source, so without
+                    # this the scheduler's finally (which cancels in-flight
+                    # decode work) would wait for GC/asyncgen-shutdown hooks
+                    await agen.aclose()
             if not request.stream:
                 yield TTSOutput.combine_outputs(chunks)
 
@@ -263,7 +274,18 @@ class TTS:
                 chunks.append(chunk)
             return chunks
 
-        all_chunks = await asyncio.gather(*(one(r) for r in requests))
+        tasks = [asyncio.create_task(one(r)) for r in requests]
+        try:
+            all_chunks = await asyncio.gather(*tasks)
+        except BaseException:
+            # one sub-request failed: cancel the siblings (their scheduler
+            # cleanup stops the in-flight decode work) instead of leaving
+            # them to decode unconsumed into a stopped loop
+            for t in tasks:
+                if not t.done():
+                    t.cancel()
+            await asyncio.gather(*tasks, return_exceptions=True)
+            raise
         flat = [c for chunks in all_chunks for c in chunks]
         return TTSOutput.combine_outputs(flat)
 
@@ -358,10 +380,13 @@ class TTS:
             precompile()
         # decode-block executables likewise: with slot bucketing on, the
         # narrow slot-bound programs (and migrate_slot) would otherwise
-        # compile lazily at the first drain — mid-serving
-        decode_engine = getattr(self.tts_engine, "decode_engine", None)
-        if decode_engine is not None and getattr(decode_engine, "slot_bucketing", False):
-            decode_engine.precompile()
+        # compile lazily at the first drain — mid-serving. Engine-level
+        # method so ReplicatedTTSEngine forwards it to every replica.
+        precompile_decode = getattr(
+            self.tts_engine, "precompile_decode_programs", None
+        )
+        if precompile_decode is not None:
+            precompile_decode()
         try:
             self.loop.run_until_complete(_run())
         finally:

@@ -1070,6 +1070,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
         threading.Thread(target=warm, daemon=True, name=f"warm-row-{bucket}").start()
 
+    def precompile_decode_programs(self) -> None:
+        """AOT-build the decode-block program set when slot bucketing needs
+        it (no-op otherwise — the default set compiles through warmup's
+        normal requests). Engine-level so ReplicatedTTSEngine forwards it."""
+        if self.decode_engine.slot_bucketing:
+            self.decode_engine.precompile()
+
     def precompile_vocoder_buckets(self, batch: int = 4) -> None:
         """Compile every (bucket, batch) row-vocoder program up front so
         length-bucketed serving never pays a mid-stream XLA compile.

@@ -107,6 +107,12 @@ class ReplicatedTTSEngine(BaseAsyncTTSEngine):
     def get_memory_usage_curve(self) -> float:
         return sum(e.get_memory_usage_curve() for e in self.engines)
 
+    def precompile_decode_programs(self) -> None:
+        for e in self.engines:
+            fn = getattr(e, "precompile_decode_programs", None)
+            if fn is not None:
+                fn()
+
     def precompile_vocoder_buckets(self) -> None:
         """Forward warmup precompiles to every replica (each owns its own
         device programs)."""

@@ -116,3 +116,62 @@ def test_split_requests_list_per_element(tts):
     assert len(subs) == 4
     assert all(isinstance(s.text, str) for s in subs)
     assert len(set(s.request_id for s in subs)) == len(subs)
+
+
+def test_copy_does_not_reenhance_and_keeps_prepared_voice(tmp_path):
+    """TTSRequest.copy(): speaker files (already enhanced by __post_init__)
+    must pass through unchanged — re-running the enhancement chain double-
+    filtered every split sub-request's references (the reference's copy()
+    has this bug) — and the prepared-voice partial must survive."""
+    import numpy as np
+
+    from auralis_tpu.common import audio_io
+    from auralis_tpu.common.requests import TTSRequest
+
+    sr = 22050
+    p = tmp_path / "v.wav"
+    audio_io.write_wav(
+        str(p), 0.3 * np.random.default_rng(0).standard_normal(sr).astype(np.float32), sr
+    )
+    req = TTSRequest(text="hi", speaker_files=[str(p)], language="en",
+                     enhance_speech=True)
+    enhanced = list(req.speaker_files)
+    assert enhanced != [str(p)]  # post_init replaced with enhanced temp wavs
+    sentinel = object()
+    req.context_partial_function = sentinel
+    sub = req.copy()
+    assert sub.speaker_files == enhanced  # NOT re-enhanced
+    assert sub.enhance_speech is True  # caller intent preserved
+    assert sub.context_partial_function is sentinel
+
+
+def test_async_path_splits_oversized_requests(monkeypatch):
+    """generate_speech_async must apply the 100k split like the sync path
+    (the HTTP server only uses the async path)."""
+    import asyncio
+
+    from auralis_tpu import TTS, TTSRequest
+    from auralis_tpu.common.output import TTSOutput
+    import numpy as np
+
+    tts = TTS(scheduler_max_concurrency=2)
+    seen = []
+
+    async def fake_prepare(req):
+        seen.append(len(req.text))
+        async def gen(_):
+            yield TTSOutput(array=np.zeros(10, np.float32), sample_rate=24000)
+        return {"parallel_inputs": [{"generator": None, "speaker_embedding": None,
+                                     "multimodal_data": None, "request": req}],
+                "request": req}
+
+    async def fake_second(gen_input):
+        yield TTSOutput(array=np.zeros(10, np.float32), sample_rate=24000)
+
+    monkeypatch.setattr(tts, "_prepare_generation_context", fake_prepare)
+    monkeypatch.setattr(tts, "_second_phase_fn", fake_second)
+
+    req = TTSRequest(text="a" * 250_000, speaker_files=["x.wav"], language="en")
+    out = asyncio.run(tts.generate_speech_async(req))
+    assert isinstance(out, TTSOutput)
+    assert len(seen) == 3 and all(n <= 100_000 for n in seen)
