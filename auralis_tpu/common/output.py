@@ -17,6 +17,7 @@ from typing import List, Optional, Tuple, Union
 import numpy as np
 
 from . import audio_io
+from .audio_io import UnsupportedAudioFormat
 from .dsp_np import istft_np, phase_vocoder, stft_np
 
 
@@ -57,6 +58,9 @@ class TTSOutput:
         out = istft_np(D2, n_fft=n_fft, hop=hop)
         peak = np.abs(out).max()
         if peak > 0:
+            # unconditional peak normalization is REFERENCE behavior
+            # (librosa.util.normalize(norm=inf), output.py:86) — kept for
+            # parity even though it changes loudness for any speed != 1.0
             out = out / peak
         return TTSOutput(array=out.astype(np.float32), sample_rate=self.sample_rate)
 
@@ -95,10 +99,14 @@ class TTSOutput:
             return buf.getvalue()
         if format == "pcm":
             if sample_width == 2:
-                return (wav * 32767).astype("<i2").tobytes()
+                return np.round(wav * 32767.0).astype("<i2").tobytes()
             if sample_width == 4:
-                return (wav * 2147483647).astype("<i4").tobytes()
-            return (wav * 127).astype(np.int8).tobytes()
+                return np.round(wav * 2147483647.0).astype("<i4").tobytes()
+            if sample_width == 1:
+                return np.round(wav * 127.0).astype(np.int8).tobytes()
+            raise UnsupportedAudioFormat(
+                f"pcm sample_width must be 1, 2 or 4 bytes, got {sample_width}"
+            )
         if format == "flac":
             from . import native_audio
 
@@ -159,6 +167,9 @@ class TTSOutput:
                 audio = audio.mean(axis=1)
             return cls(array=audio, sample_rate=sr)
         audio, sr = audio_io.read_wav(io.BytesIO(data))
+        audio = np.asarray(audio)
+        if audio.ndim == 2 and audio.shape[0] > 1:
+            audio = audio.mean(axis=0)  # downmix like the FLAC branch
         return cls(array=audio.squeeze(), sample_rate=sr)
 
     @classmethod

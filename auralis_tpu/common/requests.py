@@ -138,21 +138,24 @@ class TTSRequest:
         ).hexdigest()
 
         def compute():
-            try:
-                temp_dir = Path("/tmp/auralis_tpu")
-                temp_dir.mkdir(exist_ok=True)
-                src = audio_source if isinstance(audio_source, (str, Path)) else io.BytesIO(audio_source)
-                audio = audio_io.load_audio(src, audio_config.sample_rate)[0]
-                processed = self.processor.process(np.asarray(audio))
-                stem = Path(audio_source).stem if isinstance(audio_source, str) else cache_key[:8]
-                out_path = temp_dir / f"{stem}_{uuid.uuid4().hex}.wav"
-                audio_io.write_wav(out_path, processed, audio_config.sample_rate)
-                return str(out_path)
-            except Exception as e:
-                logger.warning("Error processing audio: %s. Using original file.", e)
-                return audio_source
+            temp_dir = Path("/tmp/auralis_tpu")
+            temp_dir.mkdir(exist_ok=True)
+            src = audio_source if isinstance(audio_source, (str, Path)) else io.BytesIO(audio_source)
+            audio = audio_io.load_audio(src, audio_config.sample_rate)[0]
+            processed = self.processor.process(np.asarray(audio))
+            stem = Path(audio_source).stem if isinstance(audio_source, str) else cache_key[:8]
+            out_path = temp_dir / f"{stem}_{uuid.uuid4().hex}.wav"
+            audio_io.write_wav(out_path, processed, audio_config.sample_rate)
+            return str(out_path)
 
-        return _enhance_cache.get_or(cache_key, compute)
+        try:
+            return _enhance_cache.get_or(cache_key, compute)
+        except Exception as e:
+            # fall back to the raw reference WITHOUT caching the fallback:
+            # a transient failure (tmp full, decode hiccup) must not pin
+            # "unenhanced" for this voice for the process lifetime
+            logger.warning("Error processing audio: %s. Using original file.", e)
+            return audio_source
 
     def copy(self) -> "TTSRequest":
         new = TTSRequest(

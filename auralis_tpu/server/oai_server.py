@@ -20,7 +20,7 @@ import time
 import uuid
 from typing import Optional
 
-from aiohttp import ClientSession, web
+from aiohttp import ClientSession, ClientTimeout, web
 
 from ..common.logger import setup_logger
 from ..core.tts import TTS
@@ -43,7 +43,9 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
     except Exception as e:
         return _error(400, str(e))
     try:
-        tts_request = body.to_tts_request()
+        # __post_init__ may run reference enhancement (decode + numpy DSP):
+        # keep it off the serving loop
+        tts_request = await asyncio.to_thread(body.to_tts_request)
         output = await tts.generate_speech_async(tts_request)
         if body.speed != 1.0:
             output = output.change_speed(body.speed)
@@ -84,8 +86,10 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     async def vocalize(text: str) -> None:
         if not text.strip():
             return
-        tts_request = body.to_tts_request(text)
-        tts_request.infer_language()
+        # to_tts_request runs TTSRequest.__post_init__ (language inference
+        # + optional reference enhancement: file decode + numpy DSP) —
+        # off-loop so a slow reference can't stall every concurrent stream
+        tts_request = await asyncio.to_thread(body.to_tts_request, text)
         output = await tts.generate_speech_async(tts_request)
         await send_event(
             {
@@ -101,7 +105,11 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         headers = {}
         if body.openai_api_key:
             headers["Authorization"] = f"Bearer {body.openai_api_key}"
-        async with ClientSession() as session:
+        # aiohttp's default ClientTimeout(total=300) would abort any chat
+        # stream longer than 5 minutes (the inline vocalize awaits make long
+        # conversations slower still); unbounded total, bounded connect
+        timeout = ClientTimeout(total=None, connect=30, sock_connect=30)
+        async with ClientSession(timeout=timeout) as session:
             async with session.post(
                 f"{body.openai_api_url.rstrip('/')}/chat/completions",
                 json=body.to_openai_request(),
@@ -125,15 +133,25 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
                         continue
                     if "text" in body.modalities:
                         await send_event(chunk)
-                    delta = (
-                        chunk.get("choices", [{}])[0].get("delta", {}).get("content") or ""
-                    )
+                    choices = chunk.get("choices") or [{}]
+                    # Azure's prompt_filter chunk and usage-only chunks ship
+                    # "choices": [] — indexing [0] on it killed the stream
+                    delta = choices[0].get("delta", {}).get("content") or ""
                     if delta and "audio" in body.modalities:
                         accumulated.append(delta)
-                        words = "".join(accumulated).split()
+                        text_so_far = "".join(accumulated)
+                        words = text_so_far.split()
                         if len(words) >= body.vocalize_at_every_n_words:
-                            await vocalize("".join(accumulated))
-                            accumulated = []
+                            # hold back a trailing PARTIAL word (BPE deltas
+                            # split mid-word): vocalizing "unbeliev" now and
+                            # "able" next chunk pronounces it as fragments
+                            if text_so_far[-1].isspace():
+                                speak, accumulated = text_so_far, []
+                            else:
+                                head, _, tail = text_so_far.rpartition(" ")
+                                speak, accumulated = head, [tail]
+                            if speak:
+                                await vocalize(speak)
         if accumulated and "audio" in body.modalities:
             await vocalize("".join(accumulated))
         await resp.write(b"data: [DONE]\n\n")

@@ -163,7 +163,9 @@ def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
 
     from aiohttp import web
 
-    deltas = ["Hello ", "there ", "friend ", "of ", "mine ", "tail"]
+    # "unbe" + "lievable " split one word across deltas: the vocalize
+    # boundary must hold the partial word back instead of speaking fragments
+    deltas = ["Hello ", "there ", "unbe", "lievable ", "of ", "mine ", "tail"]
 
     async def stub_chat(request):
         body = await request.json()
@@ -174,6 +176,11 @@ def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
             status=200, headers={"Content-Type": "text/event-stream"}
         )
         await resp.prepare(request)
+        # Azure-style prologue chunk with empty choices (must not kill the
+        # stream) and a usage-only chunk at the end
+        await resp.write(
+            f"data: {_json.dumps({'id': 'chatcmpl-stub', 'object': 'chat.completion.chunk', 'choices': []})}\n\n".encode()
+        )
         for i, d in enumerate(deltas):
             chunk = {
                 "id": "chatcmpl-stub", "object": "chat.completion.chunk",
@@ -181,6 +188,9 @@ def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
                              "finish_reason": None}],
             }
             await resp.write(f"data: {_json.dumps(chunk)}\n\n".encode())
+        await resp.write(
+            f"data: {_json.dumps({'id': 'chatcmpl-stub', 'object': 'chat.completion.chunk', 'choices': [], 'usage': {'total_tokens': 7}})}\n\n".encode()
+        )
         await resp.write(b"data: [DONE]\n\n")
         return resp
 
@@ -214,7 +224,11 @@ def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
 
     chat_chunks = [e for e in events if e.get("object") == "chat.completion.chunk"]
     audio_chunks = [e for e in events if e.get("object") == "audio.chunk"]
-    assert [c["choices"][0]["delta"]["content"] for c in chat_chunks] == deltas
+    assert [
+        c["choices"][0]["delta"]["content"]
+        for c in chat_chunks if c.get("choices")
+    ] == deltas
+    assert sum(1 for c in chat_chunks if not c.get("choices")) == 2  # relayed intact
     # 6 words at vocalize_at_every_n_words=2 -> >=2 segment events + tail
     assert len(audio_chunks) >= 2
     for a in audio_chunks:
