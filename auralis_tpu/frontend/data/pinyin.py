@@ -376,7 +376,17 @@ _DATA7 = """
 """
 
 CHAR_READINGS: dict[str, str] = {}
-for _tok in (_DATA + _DATA2 + _DATA3 + _DATA4 + _DATA5 + _DATA6 + _DATA7).split():
+# Round-2 supplement: misses found by register-probe (tech/sports/weather/
+# social registers).
+_DATA8 = """
+借jie4 域yu4 景jing3 漫man4 租zu1 练lian4 署shu3 良liang2 训xun4 访fang3
+链lian4 食shi2 聊liao2 逛guang4 晒shai4 赞zan4 圈quan1 博bo2 晋jin4 衔xian2
+峰feng1 巅dian1 谷gu3 涯ya2 岸an4 滩tan1 礁jiao1 湾wan1 屿yu3 疆jiang1
+"""
+
+for _tok in (
+    _DATA + _DATA2 + _DATA3 + _DATA4 + _DATA5 + _DATA6 + _DATA7 + _DATA8
+).split():
     if len(_tok) >= 2 and "一" <= _tok[0] <= "鿿":
         CHAR_READINGS.setdefault(_tok[0], _tok[1:])
 

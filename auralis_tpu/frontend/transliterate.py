@@ -2,10 +2,10 @@
 
 The reference depends on cutlet (ja romaji), hangul_romanize (ko) and pypinyin
 (zh) — none of which exist in this image. Kana->romaji and hangul->latin are
-algorithmic and implemented fully here. Hanzi->pinyin requires a per-character
-reading dictionary; when a `pypinyin` package is importable we use it,
-otherwise Chinese text passes through after number normalization (documented
-limitation, tracked for a later round).
+algorithmic and implemented fully here. Hanzi->pinyin and kanji->kana use the
+embedded first-party reading tables in `frontend/data/` (phrase/word entries
+matched longest-first, then per-character most-common readings); a `pypinyin`
+package, when importable, overrides the zh table.
 """
 from __future__ import annotations
 

@@ -100,6 +100,37 @@ _QUANT_RE = re.compile(
 )
 _PHONE_RE = re.compile(r"\d{7,}")
 _NUMBER_RE = re.compile(r"\d+(?:,\d{3})*(?:\.\d+)?")
+# Clock times HH:MM[:SS] with a plausible hour (reference normalizes 时:分
+# through its Date/number path; 点/分/秒 is the spoken form)
+# trailing 整/分 in the source ("9:00整", "8:30分") is consumed — _time_sub
+# already emits the spoken unit, so keeping it would double it
+_TIME_RE = re.compile(r"(?<!\d)([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?(?!\d)[整分]?")
+# Two 4-digit years joined by a dash read digit-by-digit on both sides
+# (2023-2024赛季 -> 二零二三到二零二四), unlike generic numeric ranges
+_YEAR_RANGE_RE = re.compile(r"(?<!\d)((?:1[0-9]|20)\d{2})\s*[-~—]\s*((?:1[0-9]|20)\d{2})(?!\d)")
+# Financial/banker's numerals (壹贰叁...拾佰仟) -> everyday forms so the
+# BPE sees the characters the model was trained on (reference TextNorm
+# accepts both series, zh_num2words.py CN_* tables). Only runs of >=2
+# financial chars (or one followed by 元/圆/角/分) are rewritten — a lone
+# 伍 or 佰 is likelier a surname/transliteration character.
+_FINANCIAL_MAP = str.maketrans(
+    "壹贰叁肆伍陆柒捌玖拾佰仟萬億圆", "一二三四五六七八九十百千万亿元"
+)
+_FINANCIAL_RE = re.compile(
+    r"[壹贰叁肆伍陆柒捌玖拾佰仟萬億零]{2,}|[壹贰叁肆伍陆柒捌玖拾佰仟](?=[元圆角分])"
+)
+
+
+def _time_sub(m: re.Match) -> str:
+    h, mi, s = m.group(1), m.group(2), m.group(3)
+    out = int_to_hanzi(int(h)) + "点"
+    if mi == "00" and not s:
+        out += "整"
+    else:
+        out += int_to_hanzi(int(mi)) + "分"
+    if s:
+        out += int_to_hanzi(int(s)) + "秒"
+    return out
 
 
 def _date_sub(m: re.Match) -> str:
@@ -121,12 +152,20 @@ class TextNorm:
         # order matters: most-specific patterns first so the generic number
         # rule never eats a date/money/phone prefix
         text = re.sub(r"(?<=\d),(?=\d{3})", "", text)  # 1,234 -> 1234
+        text = _FINANCIAL_RE.sub(
+            lambda m: m.group(0).translate(_FINANCIAL_MAP), text
+        )
+        text = _YEAR_RANGE_RE.sub(
+            lambda m: digits_to_hanzi(m.group(1)) + "到" + digits_to_hanzi(m.group(2)),
+            text,
+        )
         text = _DATE_RE.sub(_date_sub, text)
         text = _YEAR_RE.sub(lambda m: digits_to_hanzi(m.group(1)) + "年", text)
         text = _MOBILE_RE.sub(lambda m: digits_to_hanzi(m.group(1)), text)
         text = _LANDLINE_RE.sub(
             lambda m: digits_to_hanzi(m.group(1)) + digits_to_hanzi(m.group(2)), text
         )
+        text = _TIME_RE.sub(_time_sub, text)
         text = _PERCENT_RE.sub(lambda m: "百分之" + decimal_to_hanzi(m.group(1)), text)
         text = _FRACTION_RE.sub(
             lambda m: int_to_hanzi(int(m.group(2))) + "分之" + int_to_hanzi(int(m.group(1))), text

@@ -117,6 +117,19 @@ def test_chinese_numbers():
         ("买了3个苹果", "买了三个苹果"),
         ("他30多岁了", "他三十多岁了"),
         ("有1,234人参加", "有一千二百三十四人参加"),
+        # clock times (点/分/秒; :00 reads 整; a source 整/分 is not doubled)
+        ("现在是08:30", "现在是八点三十分"),
+        ("比赛14:05:09开始", "比赛十四点五分九秒开始"),
+        ("9:00整到了", "九点整到了"),
+        ("8:30分开会", "八点三十分开会"),
+        # year-to-year ranges read digit-by-digit on both sides
+        ("2023-2024赛季", "二零二三到二零二四赛季"),
+        # financial/banker's numerals -> everyday forms (reference CN_*
+        # tables accept both series); a lone financial char before a
+        # currency unit converts, elsewhere it is left alone (surnames)
+        ("合计壹佰贰拾叁元", "合计一百二十三元"),
+        ("找零伍角", "找零五角"),
+        ("伍先生来了", "伍先生来了"),
     ],
 )
 def test_chinese_textnorm_golden(src, want):
