@@ -87,6 +87,8 @@ _SYMBOLS: dict[str, list[tuple[str, str]]] = {
            ("°", " fok ")],
     "ko": [("&", " 그리고 "), ("@", " 에 "), ("%", " 퍼센트 "), ("#", " 번호 "),
            ("$", " 달러 "), ("£", " 파운드 "), ("°", " 도 ")],
+    "hi": [("&", " और "), ("@", " ऐट "), ("%", " प्रतिशत "), ("#", " नंबर "),
+           ("$", " डॉलर "), ("£", " पाउंड "), ("°", " डिग्री ")],
 }
 
 # ordinal suffix patterns per language
@@ -183,7 +185,11 @@ def basic_cleaners(text: str) -> str:
 
 
 _CLEANED_LANGS = {"ar", "cs", "de", "en", "es", "fr", "hu", "it", "nl", "pl",
-                  "pt", "ru", "tr", "zh", "ko"}
+                  "pt", "ru", "tr", "zh", "ko", "hi"}
+
+# Devanagari digits normalize to ASCII before number expansion (Hindi text
+# mixes both scripts for numerals)
+_DEVANAGARI_DIGITS = str.maketrans("०१२३४५६७८९", "0123456789")
 
 
 def multilingual_cleaners(text: str, lang: str) -> str:
@@ -191,6 +197,8 @@ def multilingual_cleaners(text: str, lang: str) -> str:
     text = text.replace('"', "")
     if lang == "tr":
         text = text.replace("İ", "i").replace("Ö", "ö").replace("Ü", "ü")
+    if lang == "hi":
+        text = text.translate(_DEVANAGARI_DIGITS)
     text = text.lower()
     text = expand_numbers(text, lang)
     text = expand_abbreviations(text, lang)

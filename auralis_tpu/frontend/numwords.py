@@ -620,6 +620,50 @@ def _ko_cardinal(n: int) -> str:
     return "".join(out)
 
 
+# -------------------------------------------------------------------- Hindi
+# 0-99 are lexically irregular in Hindi; above that the Indian grouping system
+# applies (सौ 100, हज़ार 1e3, लाख 1e5, करोड़ 1e7, अरब 1e9). The reference
+# accepts "hi" but never normalizes it (tokenizer.py:784-789 routes hi to
+# basic_cleaners); this is the first-party completion of that listed language.
+_HI_UNDER_100 = (
+    "शून्य एक दो तीन चार पाँच छह सात आठ नौ दस "
+    "ग्यारह बारह तेरह चौदह पंद्रह सोलह सत्रह अठारह उन्नीस बीस "
+    "इक्कीस बाईस तेईस चौबीस पच्चीस छब्बीस सत्ताईस अट्ठाईस उनतीस तीस "
+    "इकतीस बत्तीस तैंतीस चौंतीस पैंतीस छत्तीस सैंतीस अड़तीस उनतालीस चालीस "
+    "इकतालीस बयालीस तैंतालीस चौवालीस पैंतालीस छियालीस सैंतालीस अड़तालीस उनचास पचास "
+    "इक्यावन बावन तिरपन चौवन पचपन छप्पन सत्तावन अट्ठावन उनसठ साठ "
+    "इकसठ बासठ तिरसठ चौंसठ पैंसठ छियासठ सड़सठ अड़सठ उनहत्तर सत्तर "
+    "इकहत्तर बहत्तर तिहत्तर चौहत्तर पचहत्तर छिहत्तर सतहत्तर अठहत्तर उनासी अस्सी "
+    "इक्यासी बयासी तिरासी चौरासी पचासी छियासी सत्तासी अट्ठासी नवासी नब्बे "
+    "इक्यानवे बानवे तिरानवे चौरानवे पचानवे छियानवे सत्तानवे अट्ठानवे निन्यानवे"
+).split()
+assert len(_HI_UNDER_100) == 100
+
+
+def _hi_cardinal(n: int) -> str:
+    if n < 0:
+        return "माइनस " + _hi_cardinal(-n)
+    if n < 100:
+        return _HI_UNDER_100[n]
+    out = []
+    # Indian grouping: crore (1e7) / lakh (1e5) / thousand / hundred / 0-99
+    for value, name in ((10**9, "अरब"), (10**7, "करोड़"), (10**5, "लाख"),
+                        (1000, "हज़ार"), (100, "सौ")):
+        if n >= value:
+            out.append(_hi_cardinal(n // value) + " " + name)
+            n %= value
+    if n:
+        out.append(_HI_UNDER_100[n])
+    return " ".join(out)
+
+
+_HI_ORD_IRREG = {1: "पहला", 2: "दूसरा", 3: "तीसरा", 4: "चौथा", 6: "छठा"}
+
+
+def _hi_ordinal(n: int) -> str:
+    return _HI_ORD_IRREG.get(n, _hi_cardinal(n) + "वाँ")
+
+
 # ---------------------------------------------------------------- fallbacks
 _DIGIT_WORDS = {
     "ar": ["صفر", "واحد", "اثنان", "ثلاثة", "أربعة", "خمسة", "ستة", "سبعة",
@@ -631,17 +675,18 @@ _CARDINALS = {
     "de": _de_cardinal, "it": _it_cardinal, "pt": _pt_cardinal,
     "nl": _nl_cardinal, "tr": _tr_cardinal, "hu": _hu_cardinal,
     "ru": _ru_cardinal, "pl": _pl_cardinal, "cs": _cs_cardinal,
-    "cz": _cs_cardinal, "ko": _ko_cardinal,
+    "cz": _cs_cardinal, "ko": _ko_cardinal, "hi": _hi_cardinal,
 }
 _ORDINALS = {
     "en": _en_ordinal, "es": _es_ordinal, "fr": _fr_ordinal,
     "de": _de_ordinal, "it": _it_ordinal, "pt": _pt_ordinal,
+    "hi": _hi_ordinal,
 }
 
 _POINT_WORD = {"en": "point", "es": "coma", "fr": "virgule", "de": "Komma",
                "it": "virgola", "pt": "vírgula", "nl": "komma", "pl": "przecinek",
                "ru": "запятая", "cs": "celá", "cz": "celá", "tr": "virgül",
-               "hu": "egész", "ko": "점", "ar": "فاصلة"}
+               "hu": "egész", "ko": "점", "ar": "فاصلة", "hi": "दशमलव"}
 
 
 def cardinal(n: int, lang: str = "en") -> str:

@@ -12,8 +12,9 @@ from __future__ import annotations
 import re
 from typing import List
 
-# Sentence-terminal punctuation across the supported scripts.
-_TERMINALS = ".!?…。！？؟"
+# Sentence-terminal punctuation across the supported scripts
+# (। ॥ are the Devanagari danda/double-danda used by Hindi).
+_TERMINALS = ".!?…。！？؟।॥"
 _SENT_RE = re.compile(
     rf"[^{_TERMINALS}]*[{_TERMINALS}]+[\"'»”’)]*\s*|[^{_TERMINALS}]+$",
     re.DOTALL,

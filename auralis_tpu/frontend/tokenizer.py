@@ -24,6 +24,10 @@ CHAR_LIMITS = {
     "it": 213, "pt": 203, "pl": 224, "zh": 82,
     "ar": 166, "cs": 186, "ru": 182, "nl": 251,
     "tr": 226, "ja": 71, "hu": 224, "ko": 95,
+    # the reference lists hi but never assigns it a limit (falls to the 250
+    # default); Devanagari is an abugida — denser than Latin per syllable —
+    # so it gets a budget between ru (182) and ar (166)
+    "hi": 180,
 }
 DEFAULT_CHAR_LIMIT = 250
 

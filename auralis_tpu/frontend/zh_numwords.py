@@ -101,10 +101,18 @@ _QUANT_RE = re.compile(
 _PHONE_RE = re.compile(r"\d{7,}")
 _NUMBER_RE = re.compile(r"\d+(?:,\d{3})*(?:\.\d+)?")
 # Clock times HH:MM[:SS] with a plausible hour (reference normalizes 时:分
-# through its Date/number path; 点/分/秒 is the spoken form)
-# trailing 整/分 in the source ("9:00整", "8:30分") is consumed — _time_sub
-# already emits the spoken unit, so keeping it would double it
-_TIME_RE = re.compile(r"(?<!\d)([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?(?!\d)[整分]?")
+# through its Date/number path; 点/分/秒 is the spoken form). A trailing
+# source 整/分 is captured and consumed only when it agrees with the spoken
+# form _time_sub emits (整 with :00, 分 with nonzero minutes) — see _time_sub.
+# Score contexts (比分是2:30) are excluded by _SCORE_CUE_RE in __call__ and
+# fall through to the generic per-number rule (二比三十 -> 二:三十).
+_TIME_RE = re.compile(r"(?<!\d)([01]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?(?!\d)([整分])?")
+_SCORE_CUE_RE = re.compile(r"(?:比分|比数|得分)[是为到]?$|[战胜负输赢]$")
+# ISO dash dates YYYY-MM-DD (with valid month/day) read as a date, not as the
+# generic range rule ('2023-12-25' was mangled to 二千零二十三到十二-二十五)
+_ISO_DATE_RE = re.compile(
+    r"(?<!\d)(\d{4})-(0?[1-9]|1[0-2])-(0?[1-9]|[12]\d|3[01])(?!\d)"
+)
 # Two 4-digit years joined by a dash read digit-by-digit on both sides
 # (2023-2024赛季 -> 二零二三到二零二四), unlike generic numeric ranges
 _YEAR_RANGE_RE = re.compile(r"(?<!\d)((?:1[0-9]|20)\d{2})\s*[-~—]\s*((?:1[0-9]|20)\d{2})(?!\d)")
@@ -122,14 +130,20 @@ _FINANCIAL_RE = re.compile(
 
 
 def _time_sub(m: re.Match) -> str:
-    h, mi, s = m.group(1), m.group(2), m.group(3)
+    h, mi, s, suffix = m.group(1), m.group(2), m.group(3), m.group(4)
     out = int_to_hanzi(int(h)) + "点"
     if mi == "00" and not s:
-        out += "整"
+        # '9:00' / '9:00整' -> 九点整; '9:00分' keeps the source's explicit
+        # unit as 零分 (emitting 整 for a consumed 分 would contradict it)
+        out += "零分" if suffix == "分" else "整"
     else:
         out += int_to_hanzi(int(mi)) + "分"
+        if suffix == "整" and not s:
+            out += "整"  # '8:30整' -> 八点三十分整 (sharp), not dropped
     if s:
         out += int_to_hanzi(int(s)) + "秒"
+        if suffix:
+            out += suffix
     return out
 
 
@@ -155,6 +169,12 @@ class TextNorm:
         text = _FINANCIAL_RE.sub(
             lambda m: m.group(0).translate(_FINANCIAL_MAP), text
         )
+        text = _ISO_DATE_RE.sub(
+            lambda m: digits_to_hanzi(m.group(1)) + "年"
+            + int_to_hanzi(int(m.group(2))) + "月"
+            + int_to_hanzi(int(m.group(3))) + "日",
+            text,
+        )
         text = _YEAR_RANGE_RE.sub(
             lambda m: digits_to_hanzi(m.group(1)) + "到" + digits_to_hanzi(m.group(2)),
             text,
@@ -165,7 +185,12 @@ class TextNorm:
         text = _LANDLINE_RE.sub(
             lambda m: digits_to_hanzi(m.group(1)) + digits_to_hanzi(m.group(2)), text
         )
-        text = _TIME_RE.sub(_time_sub, text)
+        text = _TIME_RE.sub(
+            lambda m: m.group(0)
+            if _SCORE_CUE_RE.search(text[max(0, m.start() - 4):m.start()])
+            else _time_sub(m),
+            text,
+        )
         text = _PERCENT_RE.sub(lambda m: "百分之" + decimal_to_hanzi(m.group(1)), text)
         text = _FRACTION_RE.sub(
             lambda m: int_to_hanzi(int(m.group(2))) + "分之" + int_to_hanzi(int(m.group(1))), text

@@ -107,6 +107,17 @@ class XTTSGPTConfig:
     # the softmax probabilities. Mutually exclusive with flash_decode.
     kv_int8: bool = False
 
+    # Repetition-penalty prompt scope (reference parity): the reference's
+    # logits processor penalizes `prompt_token_ids + token_ids`
+    # (hijack.py:67-76), and the vLLM prompt is `[1]*len(embeds) +
+    # [start_audio_token]` (vllm_mm_gpt.py:300-334) — so ids {1, 1024} are
+    # penalized from step 0 for EVERY sequence. Mel code 1 is a sampleable
+    # token, so this changes sampled trajectories. True = seed each
+    # sequence's seen-mask with {1, start_audio_token} (reference behavior);
+    # False = penalize only actually-generated tokens. The divergence is
+    # quantified in tests/unit/test_sampler_scope.py.
+    reppen_penalize_prompt_ids: bool = True
+
     audio_config: GPTAudioConfig = field(default_factory=GPTAudioConfig)
 
     @property

@@ -23,17 +23,80 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+DCN_AXIS = "dcn"  # inter-host data parallelism (multi-slice serving)
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host bootstrap (`jax.distributed.initialize`). Reads the
+    standard env vars when args are omitted (JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID, or their AURALIS_* aliases); a no-op
+    returning False in single-process runs, so single-host serving never
+    pays the coordinator handshake. Call BEFORE any jax device use.
+
+    The reference has no analogue (vLLM's torch.distributed bootstrap is
+    single-host in its deployment docs); this is the SURVEY §5 "only if
+    multi-slice serving is ever needed" hook."""
+    import os
+
+    def env(*names):
+        for n in names:
+            v = os.environ.get(n)
+            if v:
+                return v
+        return None
+
+    coordinator_address = coordinator_address or env(
+        "AURALIS_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS"
+    )
+    if num_processes is None:
+        v = env("AURALIS_NUM_PROCESSES", "JAX_NUM_PROCESSES")
+        num_processes = int(v) if v else 1
+    if num_processes <= 1:
+        return False
+    if process_id is None:
+        v = env("AURALIS_PROCESS_ID", "JAX_PROCESS_ID")
+        process_id = int(v) if v else None
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    return True
 
 
 def make_mesh(
-    devices: Optional[list] = None, data: int = 1, model: int = 1
+    devices: Optional[list] = None, data: int = 1, model: int = 1,
+    dcn_data: int = 1,
 ) -> Mesh:
+    """Device mesh. With `dcn_data` > 1 the mesh gains a leading "dcn" axis
+    of data-parallel replicas ACROSS hosts/slices: decode slots shard over
+    ("dcn", "data") — data parallelism needs no per-step collectives, so DCN
+    latency never enters the decode path — while the "model" (tensor
+    parallel) axis stays inside a slice, keeping its all-reduces on ICI.
+    Multi-host placement uses mesh_utils.create_hybrid_device_mesh (falls
+    back to a flat reshape under a simulated single-process topology)."""
     devices = devices if devices is not None else jax.devices()
-    n = data * model
+    n = dcn_data * data * model
     if n > len(devices):
-        raise ValueError(f"mesh {data}x{model} needs {n} devices, have {len(devices)}")
-    grid = np.asarray(devices[:n]).reshape(data, model)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+        raise ValueError(
+            f"mesh {dcn_data}x{data}x{model} needs {n} devices, have {len(devices)}"
+        )
+    if dcn_data <= 1:
+        grid = np.asarray(devices[:n]).reshape(data, model)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    n_procs = len({d.process_index for d in devices[:n]})
+    if n_procs > 1:
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, data, model), (dcn_data, 1, 1), devices=devices[:n]
+        )
+    else:
+        # simulated topology (virtual CPU mesh): plain reshape — the axis
+        # SEMANTICS (slots over ("dcn","data"), tp inside a slice) are what
+        # the dryrun validates; physical slice placement needs real hosts
+        grid = np.asarray(devices[:n]).reshape(dcn_data, data, model)
+    return Mesh(grid, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
 # --------------------------------------------------------------- GPT params
@@ -75,12 +138,15 @@ def gpt_param_specs() -> dict:
     }
 
 
-def decode_state_specs() -> dict:
-    """PartitionSpecs for the DecodeState pytree: slots ride the data axis,
+def decode_state_specs(dcn: bool = False) -> dict:
+    """PartitionSpecs for the DecodeState pytree: slots ride the data axis
+    (and the leading "dcn" axis on hybrid meshes — data parallelism is
+    collective-free per step, so it is the axis that may safely cross DCN),
     KV lanes (flat H*Dh, see gpt.py KVCache) ride the model axis — head h
     owns lanes [h*Dh, (h+1)*Dh), so lane sharding IS head sharding as long
     as tp divides the head count."""
-    dp, tp = DATA_AXIS, MODEL_AXIS
+    dp = (DCN_AXIS, DATA_AXIS) if dcn else DATA_AXIS
+    tp = MODEL_AXIS
     return {
         "cache": {
             "k": P(None, dp, None, tp),
@@ -139,7 +205,7 @@ def shard_decode_state(state, mesh: Mesh):
     from ..runtime.sampler import SamplingState
     from ..models.xttsv2.gpt import KVCache
 
-    specs = decode_state_specs()
+    specs = decode_state_specs(dcn=DCN_AXIS in mesh.axis_names)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))

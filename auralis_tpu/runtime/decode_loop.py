@@ -33,6 +33,19 @@ from .sampler import SamplingState, init_sampling_state, sample_tokens
 PREFILL_BUCKETS = (64, 128, 256, 512)
 
 
+def _prompt_seen_row(cfg: XTTSGPTConfig) -> jax.Array:
+    """Initial seen-mask row for a fresh sequence. With
+    cfg.reppen_penalize_prompt_ids (reference parity), ids {1,
+    start_audio_token} are penalized from step 0: the reference's processor
+    scopes `prompt_token_ids + token_ids` (hijack.py:67-76) and its vLLM
+    prompt is `[1]*len(embeds) + [start_audio_token]` (vllm_mm_gpt.py:300)."""
+    row = np.zeros((cfg.num_audio_tokens,), bool)
+    if cfg.reppen_penalize_prompt_ids:
+        row[1] = True
+        row[cfg.start_audio_token] = True
+    return jnp.asarray(row)
+
+
 def prefill_bucket(length: int, max_len: int) -> int:
     for b in PREFILL_BUCKETS:
         if length <= b <= max_len:
@@ -152,7 +165,9 @@ def insert_sequence(
             onehot, repetition_penalty, state.sampling.repetition_penalty
         ),
         do_sample=jnp.where(onehot, do_sample, state.sampling.do_sample),
-        seen=jnp.where(onehot[:, None], False, state.sampling.seen),
+        seen=jnp.where(
+            onehot[:, None], _prompt_seen_row(cfg)[None, :], state.sampling.seen
+        ),
     )
 
     rng, sub = jax.random.split(state.rng)
@@ -220,7 +235,9 @@ def insert_sequences(
             repetition_penalty, mode="drop"
         ),
         do_sample=state.sampling.do_sample.at[slots].set(do_sample, mode="drop"),
-        seen=jnp.where(khot[:, None], False, state.sampling.seen),
+        seen=jnp.where(
+            khot[:, None], _prompt_seen_row(cfg)[None, :], state.sampling.seen
+        ),
     )
 
     rng, sub = jax.random.split(state.rng)

@@ -90,25 +90,3 @@ def sample_tokens(
     tokens = jnp.where(state.do_sample, sampled, greedy).astype(jnp.int32)
     seen = state.seen.at[jnp.arange(s), tokens].set(True)
     return tokens, state._replace(seen=seen)
-
-
-def set_slot_params(
-    state: SamplingState,
-    slot: int | jax.Array,
-    *,
-    temperature: float,
-    top_p: float,
-    top_k: int,
-    repetition_penalty: float,
-    do_sample: bool,
-) -> SamplingState:
-    """Write one slot's sampling params and clear its seen mask (host-side,
-    called when a new sequence is inserted)."""
-    return SamplingState(
-        temperature=state.temperature.at[slot].set(temperature),
-        top_p=state.top_p.at[slot].set(top_p),
-        top_k=state.top_k.at[slot].set(top_k),
-        repetition_penalty=state.repetition_penalty.at[slot].set(repetition_penalty),
-        do_sample=state.do_sample.at[slot].set(do_sample),
-        seen=state.seen.at[slot].set(False),
-    )

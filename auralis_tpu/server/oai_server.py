@@ -205,6 +205,10 @@ def start_tts_engine(args) -> TTS:
         kwargs["data_parallel_replicas"] = args.data_parallel_replicas
     if getattr(args, "slot_bucketing", False):
         kwargs["slot_bucketing"] = True
+    if getattr(args, "conditioning_cache_size", None) is not None:
+        kwargs["conditioning_cache_size"] = args.conditioning_cache_size
+    if getattr(args, "ref_length_quantum_s", None) is not None:
+        kwargs["ref_length_quantum_s"] = args.ref_length_quantum_s
     return tts.from_pretrained(args.model, gpt_model=args.gpt_model, **kwargs)
 
 
@@ -241,6 +245,17 @@ def main(argv: Optional[list] = None) -> None:
         "--slot_bucketing", action="store_true",
         help="narrow (quarter/half-width) decode programs at low occupancy "
              "with automatic slot compaction; use with --warmup",
+    )
+    parser.add_argument(
+        "--conditioning_cache_size", type=int, default=None,
+        help="voices held in the conditioning LRU (default 32; ~0.2 MB "
+             "per entry — raise for many-voice fleets)",
+    )
+    parser.add_argument(
+        "--ref_length_quantum_s", type=float, default=None,
+        help="reference-audio lengths truncate DOWN to this grid in seconds "
+             "(default 1.0) bounding the conditioning-program shape set; "
+             "0 disables (exact lengths, fresh XLA compile per new length)",
     )
     args = parser.parse_args(argv)
 

@@ -123,29 +123,38 @@ def main() -> None:
     tts.loop.run_until_complete(run_batch(make_requests(2)))
     engine.precompile_vocoder_buckets()  # buckets the warmup chunks missed
 
-    # two timed passes, keep the better: sampled token counts (and so
-    # per-chunk fixed-cost amortization) vary run to run by a few percent;
-    # min-of-2 reports the pipeline's capability rather than sampling luck
-    rtf = float("inf")
-    for _ in range(2):
+    de = engine.decode_engine
+    # telemetry must cover ONLY the timed region: the r2 artifact's
+    # insert_s=153 s was warmup compile/cache loads, not serving time
+    de.reset_stats()
+
+    # three timed passes, keep the best, report the spread: sampled token
+    # counts (and so per-chunk fixed-cost amortization) vary run to run;
+    # min-of-N reports the pipeline's capability, the spread flags rig noise
+    rtfs = []
+    for _ in range(3):
         t0 = time.time()
         outs = tts.loop.run_until_complete(run_batch(make_requests()))
         wall = time.time() - t0
         audio_seconds = sum(len(o.array) for o in outs) / 24000.0
-        rtf = min(rtf, wall / max(audio_seconds, 1e-9))
-    de = engine.decode_engine
+        rtfs.append(wall / max(audio_seconds, 1e-9))
+    rtf = min(rtfs)
     st = dict(de.stats)
     if st["blocks"]:
         # runner telemetry on stderr (the stdout contract is ONE JSON line):
-        # avg occupancy exposes the slot-fill tax, migrations the compaction
-        # activity under slot bucketing
+        # avg occupancy exposes the slot-fill tax; insert_s splits into
+        # host-upload vs device-dispatch so transfer regressions are visible
         print(
             f"[runner] blocks={st['blocks']} avg_occupancy="
             f"{st['occupancy_sum'] / st['blocks']:.1f}/{de.num_slots} "
-            f"migrations={st['migrations']} insert_s={st['insert_s']:.2f} "
-            f"status_wait_s={st['status_wait_s']:.2f}",
+            f"migrations={st['migrations']} inserts={st['inserts']} "
+            f"insert_s={st['insert_s']:.2f} "
+            f"(upload={st['insert_upload_s']:.2f} dispatch={st['insert_dispatch_s']:.2f}) "
+            f"dispatch_s={st['dispatch_s']:.2f} status_wait_s={st['status_wait_s']:.2f} "
+            f"harvest_s={st['harvest_s']:.2f}",
             file=sys.stderr,
         )
+    print(f"[runner] rtf_runs={[round(r, 5) for r in rtfs]}", file=sys.stderr)
     tts.loop.run_until_complete(tts.shutdown())
 
     print(
@@ -157,6 +166,7 @@ def main() -> None:
                 "value": round(rtf, 5),
                 "unit": "x realtime",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),
+                "runs": [round(r, 5) for r in rtfs],
             }
         )
     )

@@ -39,6 +39,10 @@ def _manual_greedy(params, cfg, embeds: np.ndarray):
     tokens, latents = [], []
     logits, latent = heads(params, h[None])
     seen = np.zeros(cfg.num_audio_tokens, bool)
+    if cfg.reppen_penalize_prompt_ids:
+        # reference prompt scope: ids {1, start} penalized from step 0
+        seen[1] = True
+        seen[cfg.start_audio_token] = True
 
     def greedy_penalized(logits_row):
         row = np.asarray(logits_row, np.float64).copy()

@@ -122,6 +122,14 @@ def test_chinese_numbers():
         ("比赛14:05:09开始", "比赛十四点五分九秒开始"),
         ("9:00整到了", "九点整到了"),
         ("8:30分开会", "八点三十分开会"),
+        # suffix/minutes disagreement: the source unit is honored, not
+        # silently rewritten ('9:00分' keeps 分; '8:30整' keeps the sharp 整)
+        ("9:00分开会", "九点零分开会"),
+        ("8:30整出发", "八点三十分整出发"),
+        # score context: not a clock time — falls through to plain numbers
+        ("比分是2:30", "比分是二:三十"),
+        # ISO dash dates read as dates, not as the generic range rule
+        ("2023-12-25开会", "二零二三年十二月二十五日开会"),
         # year-to-year ranges read digit-by-digit on both sides
         ("2023-2024赛季", "二零二三到二零二四赛季"),
         # financial/banker's numerals -> everyday forms (reference CN_*

@@ -47,8 +47,11 @@ def test_cleaners_produce_text(lang):
     out = multilingual_cleaners(SAMPLES[lang], lang)
     assert isinstance(out, str) and out.strip(), f"{lang}: empty after cleaning"
     # digits must be expanded (or transliterated away) for cleaned languages
-    if lang not in ("hi",):  # hi falls back to digit passthrough
-        assert "1999" not in out or lang in ("ko",), f"{lang}: {out!r}"
+    assert "1999" not in out or lang in ("ko",), f"{lang}: {out!r}"
+    if lang == "hi":
+        # Hindi verbalizes through the first-party Indian-system cardinals
+        # (3 -> तीन; 1999 -> एक हज़ार नौ सौ निन्यानवे)
+        assert "तीन" in out and "एक हज़ार नौ सौ निन्यानवे" in out, out
     if lang == "zh-cn":
         # the full "zh-cn" code must hit the hanzi TextNorm, not the English
         # num2words branch (regression: base-code stripping in cleaners)
@@ -81,7 +84,8 @@ def test_long_text_chunk_limits_per_language():
     """Per-language char limits bound every chunk (reference
     tokenizer.py:784-789: en 250 ... ja 71)."""
     tok = build_tiny_tokenizer()
-    for lang, limit in (("en", 250), ("ja", 71), ("zh-cn", 82), ("ko", 95)):
+    for lang, limit in (("en", 250), ("ja", 71), ("zh-cn", 82), ("ko", 95),
+                        ("hi", 180)):
         text = SAMPLES[lang] * 30
         pieces = split_text_into_chunks(text, max_length=tok.char_limits.get(lang, 250))
         assert pieces

@@ -163,3 +163,37 @@ def test_tensor_parallel_rejects_bad_degree():
         XTTSv2Engine.random_init(
             tokenizer=build_tiny_tokenizer(), seed=0, tensor_parallel_size=3,
         )
+
+
+def test_hybrid_dcn_mesh_matches_single_device():
+    """Simulated 2-host hybrid mesh (dcn=2 x data=2 x model=2): slots shard
+    over ("dcn", "data"), tp stays inside a slice — greedy tokens must match
+    the single-device run bit-for-bit."""
+    cfg = tiny_test_config().gpt
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    prompt = 0.3 * rng.standard_normal((16, cfg.hidden_size)).astype(np.float32)
+
+    state1 = init_decode_state(cfg, 8, jax.random.PRNGKey(1), dtype=jnp.float32)
+    state1 = _run(params, cfg, state1, prompt)
+    tokens1 = np.asarray(jax.device_get(state1.tokens_buf[1]))
+
+    mesh = make_mesh(dcn_data=2, data=2, model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    params_s = shard_gpt_params(params, mesh)
+    state2 = init_decode_state(cfg, 8, jax.random.PRNGKey(1), dtype=jnp.float32)
+    state2 = shard_decode_state(state2, mesh)
+    # slots must actually shard over both dcn and data (4-way)
+    assert "dcn" in str(state2.cache.k.sharding.spec), state2.cache.k.sharding
+    state2 = _run(params_s, cfg, state2, prompt)
+    tokens2 = np.asarray(jax.device_get(state2.tokens_buf[1]))
+
+    np.testing.assert_array_equal(tokens1, tokens2)
+
+
+def test_initialize_distributed_noop_single_process(monkeypatch):
+    from auralis_tpu.parallel.mesh import initialize_distributed
+
+    monkeypatch.delenv("AURALIS_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert initialize_distributed() is False  # no coordinator handshake

@@ -101,3 +101,15 @@ def test_phrase_overrides_beat_char_defaults():
     # 行 defaults to xing2; in 银行 it must read hang2
     assert "hang2" in chinese_to_pinyin("银行")
     assert "xing2" in chinese_to_pinyin("行动")
+
+
+def test_kanji_char_fallback_prefers_standalone_reading():
+    # base-table precedence (setdefault) keeps the most-common STANDALONE
+    # reading for chars both tables carry: 相 -> そう (not the 首相 on-yomi
+    # しょう), 革 -> かわ; compounds still read via WORD_READINGS (首相 ->
+    # しゅしょう)
+    from auralis_tpu.frontend.data.kanji import CHAR_READINGS, WORD_READINGS
+
+    assert CHAR_READINGS["相"] == "そう"
+    assert CHAR_READINGS["革"] == "かわ"
+    assert WORD_READINGS["首相"] == "しゅしょう"
