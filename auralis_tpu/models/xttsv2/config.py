@@ -107,6 +107,16 @@ class XTTSGPTConfig:
     # the softmax probabilities. Mutually exclusive with flash_decode.
     kv_int8: bool = False
 
+    # Ragged int8 Pallas flash-decode (ops/experimental/attention.py
+    # ragged_decode_attention) composed with the int8 KV cache: per step each
+    # slot reads only its LIVE KV rows (sum(seq_lens) traffic) instead of the
+    # shared length-bucket bound, with in-kernel int8 dequant via the
+    # per-token scale rows and in-kernel append. Requires kv_int8; implies
+    # straight-line layers (the aliased cache pass-through can't ride a
+    # fori carry). Default OFF per the on-chip A/B (see ARCHITECTURE.md
+    # "Ragged int8 kernel" and docs/advanced/performance.md).
+    ragged_decode: bool = False
+
     # Repetition-penalty prompt scope (reference parity): the reference's
     # logits processor penalizes `prompt_token_ids + token_ids`
     # (hijack.py:67-76), and the vLLM prompt is `[1]*len(embeds) +

@@ -160,8 +160,15 @@ class _VocodeBatcher:
             except RuntimeError:
                 pass  # stale closed-loop future
 
-    def _pad(self, seq: list) -> list:
-        for b in self._BATCH_SIZES:
+    def _pad(self, kind: str, seq: list) -> list:
+        sizes = self._BATCH_SIZES
+        if kind == "seg_first" and getattr(self.engine, "seg_first_batch1", False):
+            # a LONE first segment is the time-to-first-audio critical path;
+            # with the flag on it runs a dedicated batch-1 executable instead
+            # of padding to 4 lanes of generator work (A/B: judge r2 item 10,
+            # measured in docs/advanced/performance.md)
+            sizes = (1,) + sizes
+        for b in sizes:
             if len(seq) <= b:
                 return seq + [seq[-1]] * (b - len(seq))
         return seq
@@ -169,7 +176,7 @@ class _VocodeBatcher:
     def _run_batch(self, kind: str, items: list) -> list:
         eng = self.engine
         n_real = len(items)
-        items = self._pad(items)
+        items = self._pad(kind, items)
         if kind == "row":
             rows = jnp.stack([it[0] for it in items])
             ns = jnp.asarray([it[1] for it in items], jnp.int32)
@@ -285,6 +292,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         slot_bucketing: bool = False,
         conditioning_cache_size: int = 32,
         ref_length_quantum_s: float = 1.0,
+        seg_first_batch1: bool = False,
         seed: int = 0,
         **kwargs,
     ):
@@ -472,6 +480,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # _quantize_ref_length)
         self.conditioning_cache_size = max(1, int(conditioning_cache_size))
         self.ref_length_quantum_s = float(ref_length_quantum_s)
+        self.seg_first_batch1 = bool(seg_first_batch1)
         self._cond_cache: dict[str, tuple] = {}
         self._vocode_batcher = _VocodeBatcher(self)
         self._packed_resblocks, self._packed_stages = self._maybe_pack_resblocks()

@@ -78,6 +78,8 @@ def make_kv_cache(cfg: XTTSGPTConfig, num_slots: int, dtype=jnp.bfloat16) -> KVC
         t_pad,
         cfg.num_attention_heads * cfg.head_dim,
     )
+    if cfg.ragged_decode:
+        assert cfg.kv_int8, "ragged_decode composes with (requires) kv_int8"
     if cfg.kv_int8:
         assert not cfg.flash_decode, "kv_int8 and flash_decode are exclusive"
         scale_shape = shape[:3]
@@ -463,6 +465,19 @@ def gpt_decode_step(
                 v.astype(cache.v.dtype), cache.k, cache.v, layer, seq_lens,
             )
             cache = KVCache(ck, cv)
+        elif cfg.kv_int8 and cfg.ragged_decode:
+            from ...ops.experimental.attention import ragged_decode_attention
+
+            # ragged Pallas kernel: fused int8 append + per-slot LIVE-length
+            # KV reads (sum(seq_lens) traffic instead of slots x len_bound);
+            # int8 rows dequantize in-kernel via the per-token scale rows.
+            # Caches pass through aliased — requires the unrolled layer body.
+            ctx, ck, cv, ks, vs = ragged_decode_attention(
+                q.reshape(s, h_heads, head_dim), k, v, scale, layer,
+                seq_lens, cache.k, cache.v, cache.k_scale, cache.v_scale,
+                interpret=jax.default_backend() != "tpu",
+            )
+            cache = KVCache(ck, cv, ks, vs)
         elif cfg.kv_int8:
             # int8 storage with per-token scales. Scores run as an int8x
             # int8 -> int32 MXU matmul so the cache is read directly in its
@@ -566,7 +581,7 @@ def gpt_decode_step(
             x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
         return x, cache
 
-    if cfg.flash_decode or cfg.unroll_layers:
+    if cfg.flash_decode or cfg.ragged_decode or cfg.unroll_layers:
         # unroll layers: straight-line pallas calls keep the cache aliasing
         # in-place (a fori-carried cache forces per-call copies); for the
         # XLA paths (cfg.unroll_layers) straight-line code lets the

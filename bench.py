@@ -73,6 +73,7 @@ def build_engine():
         decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "64")),
         steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "64")),
         slot_bucketing=os.environ.get("BENCH_SLOT_BUCKETING", "") == "1",
+        seg_first_batch1=os.environ.get("BENCH_SEG_FIRST_BATCH1", "") == "1",
     )
     if engine.decode_engine.slot_bucketing:
         # narrow slot-bucket programs + migrate_slot must never compile

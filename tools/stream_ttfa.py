@@ -96,8 +96,11 @@ def main() -> None:
         precompile = getattr(engine, "precompile_vocoder_buckets", None)
         if precompile is not None:
             await asyncio.to_thread(precompile)
-        # warmup (compiles every program) — run a full-size burst so the
-        # batched-insert K buckets the timed burst will hit are already hot
+        # warmup (compiles every program): first a SOLO request (compiles the
+        # batch-1 seg_first executable when BENCH_SEG_FIRST_BATCH1=1 — a
+        # burst would batch its first segments and miss it), then a full-size
+        # burst so the batched-insert K buckets the timed burst hits are hot
+        await one(0)
         await asyncio.gather(*(one(i) for i in range(max(2, args.concurrency))))
         from auralis_tpu.common.tracing import profile_summary
 
