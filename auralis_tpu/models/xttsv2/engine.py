@@ -50,7 +50,7 @@ from .modules import (
     speaker_encoder,
 )
 from .weights import find_artifact, load_core_params, load_gpt_params, load_safetensors
-from ...runtime.engine_core import DecodeEngine, SamplingOptions
+from ...runtime.engine_core import DecodeEngine, SamplingOptions, TokenPrompt
 
 logger = setup_logger("xttsv2")
 
@@ -418,13 +418,6 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 else x,
                 core["hifigan"],
             )
-
-        # Host-side copies of the embedding tables for zero-compile prompt
-        # assembly (float32 regardless of device dtype).
-        self._np_text_wte = np.asarray(params["text_wte"], np.float32)
-        self._np_text_wpe = np.asarray(params["text_wpe"], np.float32)
-        self._np_wte = np.asarray(params["wte"], np.float32)
-        self._np_wpe0 = np.asarray(params["wpe"][0], np.float32)
 
         # chunk-level parallelism exceeds request concurrency (one request
         # fans out into many text chunks) — default to 2x slots
@@ -853,8 +846,31 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         return gpt_cond, speaker
 
     # ------------------------------------------------------ prompt assembly
-    def _build_prompt(self, cond_latents: np.ndarray, token_ids: List[int]) -> np.ndarray:
-        """Host-side prompt: [cond ⊕ text(bos..eos)+text_wpe ⊕ start-audio]."""
+    def _cond_device(self, cond_latents) -> "jax.Array":
+        """Voice conditioning latents as a device-resident [C, D] array —
+        uploaded ONCE per request (128 KB), shared by every chunk's
+        TokenPrompt instead of re-shipping inside each chunk's embeddings."""
+        if isinstance(cond_latents, jax.Array):
+            dev = cond_latents.reshape(-1, self.gpt_config.hidden_size)
+        else:
+            dev = jnp.asarray(
+                np.asarray(cond_latents, np.float32).reshape(
+                    -1, self.gpt_config.hidden_size
+                )
+            )
+        if self.mesh is not None:
+            from ...parallel.mesh import replicate
+
+            dev = replicate(dev, self.mesh)
+        return dev
+
+    def _build_prompt(self, cond_dev, token_ids: List[int]) -> TokenPrompt:
+        """Transfer-thin prompt spec: device cond latents + host token ids
+        (bos/eos added here). The [cond ⊕ text+text_wpe ⊕ start-audio]
+        embedding matrix is assembled IN-GRAPH at insert
+        (decode_loop._assemble_prompt) — the host uploads ~2 KB of ids per
+        chunk instead of a 1-2 MB matrix (the reference ships full embeds
+        into vLLM per chunk, vllm_mm_gpt.py:274-295)."""
         max_text = self.gpt_config.max_text_tokens
         if len(token_ids) > max_text:
             logger.warning(
@@ -864,11 +880,9 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             token_ids = token_ids[:max_text]
         ids = np.asarray(
             [self.tokenizer.bos_token_id, *token_ids, self.tokenizer.eos_token_id],
-            np.int64,
+            np.int32,
         )
-        text = self._np_text_wte[ids] + self._np_text_wpe[: len(ids)]
-        start = (self._np_wte[self.gpt_config.start_audio_token] + self._np_wpe0)[None]
-        return np.concatenate([cond_latents.reshape(-1, text.shape[-1]), text, start], 0)
+        return TokenPrompt(cond=cond_dev, ids=ids)
 
     # ----------------------------------------------------------- generation
     async def get_generation_context(
@@ -906,9 +920,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             do_sample=request.do_sample,
         )
         handles, request_ids = [], []
+        cond_dev = self._cond_device(gpt_cond_latent)
         try:
             for idx, ids in enumerate(token_chunks):
-                prompt = self._build_prompt(gpt_cond_latent, ids)
+                prompt = self._build_prompt(cond_dev, ids)
                 # streaming requests get a snapshot mailbox so audio segments
                 # can be vocoded while the chunk is still decoding (intra-chunk
                 # streaming; the reference streams only whole chunks, §3.3)

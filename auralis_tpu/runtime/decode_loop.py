@@ -136,8 +136,31 @@ def _record_and_advance(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def insert_sequence(
+def _assemble_prompt(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    cond: jax.Array,  # [C, D] voice conditioning latents (device-resident)
+    ids: jax.Array,  # [Tb] i32 text token ids incl. bos/eos, zero-padded
+    n_ids: jax.Array,  # scalar i32: true id count
+) -> jax.Array:
+    """In-graph prompt assembly: [cond ⊕ text(ids)+text_wpe ⊕ start-audio]
+    -> [C + Tb, D]. Row C + n_ids carries the start-audio embed
+    (wte[start] + wpe[0], reference vllm_mm_gpt.py:806-813); rows beyond are
+    garbage and masked by gpt_prefill's length mask. This is the transfer-
+    thin insert path: the host uploads ~2 KB of ids instead of a 1-2 MB
+    embedding matrix per chunk (the conditioning latents live on device,
+    uploaded once per voice)."""
+    tb = ids.shape[0]
+    pos = jnp.arange(tb)
+    text = params["text_wte"][ids] + params["text_wpe"][
+        jnp.clip(pos, 0, params["text_wpe"].shape[0] - 1)
+    ]
+    start = params["wte"][cfg.start_audio_token] + params["wpe"][0]
+    text = jnp.where(pos[:, None] == n_ids, start[None], text)
+    return jnp.concatenate([cond.astype(text.dtype), text], axis=0)
+
+
+def _insert_body(
     params: dict,
     cfg: XTTSGPTConfig,
     state: DecodeState,
@@ -196,8 +219,40 @@ def insert_sequence(
     return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, onehot, rng)
 
 
+insert_sequence = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+)(_insert_body)
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def insert_sequences(
+def insert_sequence_tokens(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    state: DecodeState,
+    cond: jax.Array,  # [C, D] device-resident voice latents
+    ids: jax.Array,  # [Tb] i32 text ids incl. bos/eos, zero-padded
+    n_ids: jax.Array,  # scalar i32
+    slot: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    repetition_penalty: jax.Array,
+    do_sample: jax.Array,
+) -> DecodeState:
+    """Transfer-thin insert: assemble the prompt IN-GRAPH from device-cached
+    conditioning + uploaded token ids (~2 KB), then prefill. Identical result
+    to insert_sequence over host-built embeddings (pinned by test)."""
+    embeds = _assemble_prompt(params, cfg, cond, ids, n_ids).astype(
+        jnp.bfloat16 if cfg.kv_int8 else state.cache.k.dtype
+    )
+    length = cond.shape[0] + n_ids + 1
+    return _insert_body(
+        params, cfg, state, embeds, length, slot,
+        temperature, top_p, top_k, repetition_penalty, do_sample,
+    )
+
+
+def _insert_batch_body(
     params: dict,
     cfg: XTTSGPTConfig,
     state: DecodeState,
@@ -268,6 +323,44 @@ def insert_sequences(
         latent, mode="drop"
     )
     return _record_and_advance(cfg, state, latent_full, tokens, sampling, cache, khot, rng)
+
+
+insert_sequences = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+)(_insert_batch_body)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def insert_sequences_tokens(
+    params: dict,
+    cfg: XTTSGPTConfig,
+    state: DecodeState,
+    cond: jax.Array,  # [K, C, D] per-lane voice latents (device-resident)
+    ids: jax.Array,  # [K, Tb] i32 text ids incl. bos/eos, zero-padded
+    n_ids: jax.Array,  # [K] i32 true id counts
+    slots: jax.Array,  # [K] i32 target slots; num_slots on padding lanes
+    temperature: jax.Array,
+    top_p: jax.Array,
+    top_k: jax.Array,
+    repetition_penalty: jax.Array,
+    do_sample: jax.Array,
+) -> DecodeState:
+    """Transfer-thin burst insert: per-lane in-graph prompt assembly (the
+    cond latents are usually the SAME device buffer broadcast across lanes —
+    one voice, many chunks), then the batched prefill."""
+    dt = jnp.bfloat16 if cfg.kv_int8 else state.cache.k.dtype
+    embeds = jax.vmap(
+        lambda c, i, n: _assemble_prompt(params, cfg, c, i, n)
+    )(cond, ids, n_ids).astype(dt)
+    lengths = cond.shape[1] + n_ids + 1
+    # padding lanes (slot == num_slots) carry n_ids=0 -> length C+1; their
+    # scatters drop, so the value is irrelevant — but zero the length so the
+    # attention mask stays all-false exactly like the embeds path
+    lengths = jnp.where(slots < state.seq_lens.shape[0], lengths, 0)
+    return _insert_batch_body(
+        params, cfg, state, embeds, lengths, slots,
+        temperature, top_p, top_k, repetition_penalty, do_sample,
+    )
 
 
 def _slice_state(state: DecodeState, sb: int) -> DecodeState:

@@ -31,7 +31,9 @@ from .decode_loop import (
     harvest_latents_device,
     init_decode_state,
     insert_sequence,
+    insert_sequence_tokens,
     insert_sequences,
+    insert_sequences_tokens,
     migrate_slot,
     prefill_bucket,
     release_slots,
@@ -39,6 +41,22 @@ from .decode_loop import (
 )
 
 logger = setup_logger("engine")
+
+
+@dataclass
+class TokenPrompt:
+    """Transfer-thin prompt: device-resident voice conditioning + host text
+    token ids. The insert uploads ~2 KB of ids and assembles
+    [cond ⊕ text ⊕ start] IN-GRAPH (decode_loop._assemble_prompt) instead of
+    shipping a 1-2 MB host-built embedding matrix per chunk over the host
+    link — the cond latents upload once per request/voice, not per chunk."""
+
+    cond: jax.Array  # [C, D] on device
+    ids: np.ndarray  # int32 [n], bos/eos included
+
+    @property
+    def length(self) -> int:
+        return int(self.cond.shape[0]) + len(self.ids) + 1  # + start-audio
 
 
 @dataclass
@@ -52,7 +70,7 @@ class SamplingOptions:
 
 @dataclass
 class _Pending:
-    embeds: np.ndarray
+    embeds: "np.ndarray | TokenPrompt"
     length: int
     options: SamplingOptions
     future: asyncio.Future
@@ -184,21 +202,36 @@ class DecodeEngine:
             self._closed = False
         loop = asyncio.get_running_loop()
         fut: asyncio.Future = loop.create_future()
-        embeds = np.asarray(embeds)
         # validate HERE so a malformed prompt fails only its own request —
         # inside the runner it would crash the shared loop and fail every
         # concurrent waiter
-        if embeds.ndim != 2 or embeds.shape[1] != self.cfg.hidden_size:
-            raise ValueError(
-                f"embeds must be [T, {self.cfg.hidden_size}], got {embeds.shape}"
-            )
-        max_prompt = self.cfg.max_seq_len - 1  # one position for start-audio
-        if not 1 <= embeds.shape[0] <= max_prompt:
-            raise ValueError(
-                f"prompt length {embeds.shape[0]} outside [1, {max_prompt}] "
-                f"(cfg.max_seq_len={self.cfg.max_seq_len})"
-            )
-        length = int(embeds.shape[0])
+        if isinstance(embeds, TokenPrompt):
+            if (
+                embeds.cond.ndim != 2
+                or embeds.cond.shape[1] != self.cfg.hidden_size
+            ):
+                raise ValueError(
+                    f"TokenPrompt.cond must be [C, {self.cfg.hidden_size}], "
+                    f"got {embeds.cond.shape}"
+                )
+            length = embeds.length
+            if not 1 <= length <= self.cfg.max_seq_len:
+                raise ValueError(
+                    f"prompt length {length} outside [1, {self.cfg.max_seq_len}]"
+                )
+        else:
+            embeds = np.asarray(embeds)
+            if embeds.ndim != 2 or embeds.shape[1] != self.cfg.hidden_size:
+                raise ValueError(
+                    f"embeds must be [T, {self.cfg.hidden_size}], got {embeds.shape}"
+                )
+            max_prompt = self.cfg.max_seq_len - 1  # one position for start-audio
+            if not 1 <= embeds.shape[0] <= max_prompt:
+                raise ValueError(
+                    f"prompt length {embeds.shape[0]} outside [1, {max_prompt}] "
+                    f"(cfg.max_seq_len={self.cfg.max_seq_len})"
+                )
+            length = int(embeds.shape[0])
         # NOTE (negative result): pre-staging the prompt on device at
         # enqueue time — on-loop or via executor threads — regressed burst
         # TTFA 0.47 s -> 2.6 s on the measurement rig: a 16-request burst
@@ -485,6 +518,8 @@ class DecodeEngine:
         enqueue-time staging of a whole burst did (negative result in
         generate())."""
         for pending in list(self._queue)[:2]:
+            if isinstance(pending.embeds, TokenPrompt):
+                continue  # ids upload is ~2 KB — nothing worth staging
             if pending.embeds_dev is not None or pending.staging:
                 continue
             pending.staging = True
@@ -506,9 +541,37 @@ class DecodeEngine:
             else:
                 stage()
 
+    def _token_args(self, tp: TokenPrompt) -> tuple:
+        """(cond, padded ids, n_ids) for insert_sequence(s)_tokens: ids pad
+        to the prefill bucket minus the cond width, so the assembled prompt
+        matches the bucketed embeds path's program shapes."""
+        bucket = prefill_bucket(tp.length, self.cfg.max_seq_len)
+        tb = bucket - int(tp.cond.shape[0])
+        ids_pad = np.zeros((tb,), np.int32)
+        ids_pad[: len(tp.ids)] = tp.ids
+        return tp.cond, ids_pad, len(tp.ids)
+
     def _insert(self, pending: _Pending, slot: int) -> None:
         cfg, opts = self.cfg, pending.options
         record("decode.queue_wait", time.perf_counter() - pending.enqueue_time)
+        if isinstance(pending.embeds, TokenPrompt):
+            t_disp = time.perf_counter()
+            cond, ids_pad, n_ids = self._token_args(pending.embeds)
+            self.state = insert_sequence_tokens(
+                self.params, cfg, self.state,
+                cond, jnp.asarray(ids_pad), jnp.int32(n_ids), jnp.int32(slot),
+                jnp.float32(opts.temperature), jnp.float32(opts.top_p),
+                jnp.int32(opts.top_k), jnp.float32(opts.repetition_penalty),
+                jnp.bool_(opts.do_sample),
+            )
+            self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
+            self.stats["inserts"] += 1
+            self._slot_owner[slot] = pending
+            self._slot_meta[slot] = {
+                "prompt_len": pending.length,
+                "steps_at_insert": self._steps_total,
+            }
+            return
         embeds_dev = pending.embeds_dev
         if embeds_dev is None:
             t_up = time.perf_counter()
@@ -553,6 +616,50 @@ class DecodeEngine:
         repeated weight reads before its first decode block. Lanes pad to a
         K bucket with slot == num_slots, which every scatter drops."""
         kb = next(b for b in self._INSERT_K_BUCKETS if b >= len(pairs))
+
+        def vec(fn, fill):
+            vals = [fn(p.options) for p, _ in pairs]
+            return np.asarray(vals + [fill] * (kb - len(pairs)))
+
+        if isinstance(pairs[0][0].embeds, TokenPrompt):
+            # transfer-thin burst: ONE [K, Tb] id upload (a few KB) + the
+            # per-lane device cond latents (usually one shared buffer)
+            for pending, _slot in pairs:
+                record(
+                    "decode.queue_wait", time.perf_counter() - pending.enqueue_time
+                )
+            t_disp = time.perf_counter()
+            args = [self._token_args(p.embeds) for p, _ in pairs]
+            conds = [a[0] for a in args] + [args[0][0]] * (kb - len(pairs))
+            ids = np.stack(
+                [a[1] for a in args] + [np.zeros_like(args[0][1])] * (kb - len(pairs))
+            )
+            n_ids = np.asarray(
+                [a[2] for a in args] + [0] * (kb - len(pairs)), np.int32
+            )
+            self.state = insert_sequences_tokens(
+                self.params, self.cfg, self.state,
+                jnp.stack(conds), jnp.asarray(ids), jnp.asarray(n_ids),
+                jnp.asarray(
+                    [s for _, s in pairs] + [self.num_slots] * (kb - len(pairs)),
+                    jnp.int32,
+                ),
+                jnp.asarray(vec(lambda o: o.temperature, 1.0), jnp.float32),
+                jnp.asarray(vec(lambda o: o.top_p, 1.0), jnp.float32),
+                jnp.asarray(vec(lambda o: o.top_k, 1), jnp.int32),
+                jnp.asarray(vec(lambda o: o.repetition_penalty, 1.0), jnp.float32),
+                jnp.asarray(vec(lambda o: o.do_sample, False), bool),
+            )
+            self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
+            self.stats["inserts"] += len(pairs)
+            for pending, slot in pairs:
+                self._slot_owner[slot] = pending
+                self._slot_meta[slot] = {
+                    "prompt_len": pending.length,
+                    "steps_at_insert": self._steps_total,
+                }
+            return
+
         dt = self._prompt_dtype()
         rows = []
         t_up = time.perf_counter()
@@ -570,10 +677,6 @@ class DecodeEngine:
             embeds = jnp.concatenate(
                 [embeds, jnp.zeros((kb - len(pairs),) + embeds.shape[1:], dt)]
             )
-
-        def vec(fn, fill):
-            vals = [fn(p.options) for p, _ in pairs]
-            return np.asarray(vals + [fill] * (kb - len(pairs)))
 
         t_disp = time.perf_counter()
         self.state = insert_sequences(
@@ -735,9 +838,12 @@ class DecodeEngine:
                 inserted = True
                 # group by prompt bucket; >=2 per bucket go through the
                 # batched prefill (one weight stream for the whole burst)
-                by_bucket: dict[int, list] = {}
+                by_bucket: dict[tuple, list] = {}
                 for pending, slot in to_insert:
-                    b = prefill_bucket(pending.length, self.cfg.max_seq_len)
+                    b = (
+                        prefill_bucket(pending.length, self.cfg.max_seq_len),
+                        isinstance(pending.embeds, TokenPrompt),
+                    )
                     by_bucket.setdefault(b, []).append((pending, slot))
                 for b, pairs in by_bucket.items():
                     # exact-fill K buckets only, remainder sequential: a

@@ -156,6 +156,43 @@ def main() -> None:
             file=sys.stderr,
         )
     print(f"[runner] rtf_runs={[round(r, 5) for r in rtfs]}", file=sys.stderr)
+
+    # ---- TTFA (BASELINE config 3) on the same warm engine: p50/p95 time-
+    # to-first-audio over CONCURRENCY concurrent streaming requests --------
+    stream_text = sentence * 4
+
+    def stream_req():
+        return TTSRequest(
+            text=stream_text, speaker_files=["/tmp/bench_speaker.wav"],
+            language="en", stream=True,
+        )
+
+    async def ttfa_one() -> float:
+        t0 = time.time()
+        agen = await tts.generate_speech_async(stream_req())
+        ttfa = float("nan")
+        async for _first in agen:
+            ttfa = time.time() - t0
+            break
+        async for _rest in agen:  # drain
+            pass
+        return ttfa
+
+    async def ttfa_run():
+        await ttfa_one()  # solo warmup: compiles the streaming program set
+        await asyncio.gather(*(ttfa_one() for _ in range(CONCURRENCY)))
+        return list(
+            await asyncio.gather(*(ttfa_one() for _ in range(CONCURRENCY)))
+        )
+
+    ttfas = sorted(tts.loop.run_until_complete(ttfa_run()))
+    p50 = ttfas[len(ttfas) // 2]
+    p95 = ttfas[min(len(ttfas) - 1, int(len(ttfas) * 0.95))]
+    print(
+        f"[ttfa] p50={p50 * 1e3:.0f} ms p95={p95 * 1e3:.0f} ms "
+        f"@ concurrency {CONCURRENCY} (target <300 ms)",
+        file=sys.stderr,
+    )
     tts.loop.run_until_complete(tts.shutdown())
 
     print(
@@ -168,6 +205,8 @@ def main() -> None:
                 "unit": "x realtime",
                 "vs_baseline": round(BASELINE_RTF / rtf, 2),
                 "runs": [round(r, 5) for r in rtfs],
+                "ttfa_p50_ms": round(p50 * 1e3, 1),
+                "ttfa_p95_ms": round(p95 * 1e3, 1),
             }
         )
     )
