@@ -193,6 +193,19 @@ def main() -> None:
         f"@ concurrency {CONCURRENCY} (target <300 ms)",
         file=sys.stderr,
     )
+    # ---- server load (BASELINE config 5) on the same warm engine: the
+    # OpenAI-compatible endpoint under concurrent multilingual voice-clone
+    # load with enhancement on (reference README.md:484-490 publishes this
+    # config). Skippable for pure-RTF A/B runs via BENCH_SKIP_SERVER=1. ----
+    server = {}
+    if os.environ.get("BENCH_SKIP_SERVER", "") != "1":
+        server = run_server_load(tts)
+        print(
+            f"[server] req/s={server['server_req_s']} "
+            f"p50={server['server_p50_ms']} ms p95={server['server_p95_ms']} ms "
+            f"@ concurrency {CONCURRENCY}, enhancement on",
+            file=sys.stderr,
+        )
     tts.loop.run_until_complete(tts.shutdown())
 
     print(
@@ -207,9 +220,78 @@ def main() -> None:
                 "runs": [round(r, 5) for r in rtfs],
                 "ttfa_p50_ms": round(p50 * 1e3, 1),
                 "ttfa_p95_ms": round(p95 * 1e3, 1),
+                **server,
             }
         )
     )
+
+
+def run_server_load(tts, n_requests: int = 16) -> dict:
+    """BASELINE config 5 on an already-warm engine: boot the aiohttp app
+    in-process, fire multilingual /v1/audio/speech POSTs (enhancement on,
+    base64 voice clones), return req/s + latency percentiles."""
+    import base64
+    import io
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from auralis_tpu.common import audio_io
+    from auralis_tpu.server.oai_server import build_app
+
+    texts = {
+        "en": "The quick brown fox jumps over the lazy dog near the river.",
+        "es": "El rápido zorro marrón salta sobre el perro perezoso.",
+        "de": "Der schnelle braune Fuchs springt über den faulen Hund.",
+        "fr": "Le renard brun rapide saute par-dessus le chien paresseux.",
+    }
+    langs = list(texts)
+
+    def speaker_b64(f0: float) -> str:
+        sr = 22050
+        t = np.arange(sr * 3) / sr
+        wav = (0.4 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+        buf = io.BytesIO()
+        audio_io.write_wav(buf, wav, sr)
+        return base64.b64encode(buf.getvalue()).decode()
+
+    voices = [speaker_b64(f0) for f0 in (180.0, 220.0, 260.0)]
+
+    async def run() -> dict:
+        app = build_app(tts)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        sem = asyncio.Semaphore(CONCURRENCY)
+
+        async def one(i: int):
+            body = {
+                "model": "xttsv2",
+                "input": texts[langs[i % len(langs)]],
+                "voice": [voices[i % len(voices)]],
+                "language": langs[i % len(langs)],
+                "enhance_speech": True,
+                "response_format": "wav",
+            }
+            async with sem:
+                t0 = time.perf_counter()
+                resp = await client.post("/v1/audio/speech", json=body)
+                payload = await resp.read()
+                dt = time.perf_counter() - t0
+            assert resp.status == 200, payload[:200]
+            return dt
+
+        # warmup: new voices' conditioning + any uncompiled vocoder bucket
+        await asyncio.gather(*(one(i) for i in range(4)))
+        t0 = time.perf_counter()
+        lats = sorted(await asyncio.gather(*(one(i) for i in range(n_requests))))
+        wall = time.perf_counter() - t0
+        await client.close()
+        return {
+            "server_req_s": round(n_requests / wall, 2),
+            "server_p50_ms": round(lats[len(lats) // 2] * 1e3, 1),
+            "server_p95_ms": round(lats[max(0, int(len(lats) * 0.95) - 1)] * 1e3, 1),
+        }
+
+    return tts.loop.run_until_complete(run())
 
 
 if __name__ == "__main__":
