@@ -113,8 +113,15 @@ class XTTSGPTConfig:
     # shared length-bucket bound, with in-kernel int8 dequant via the
     # per-token scale rows and in-kernel append. Requires kv_int8; implies
     # straight-line layers (the aliased cache pass-through can't ride a
-    # fori carry). Default OFF per the on-chip A/B (see ARCHITECTURE.md
-    # "Ragged int8 kernel" and docs/advanced/performance.md).
+    # fori carry). Default OFF: the r3 on-chip matrix (slots {8,32,64} x
+    # bounds {256,1024}, full occupancy) has dense int8+unroll winning every
+    # cell — e.g. 3.28 vs 3.98 ms/step at 32/256 and 8.64 vs 11.68 at
+    # 64/1024. The dense step's batched int8 MXU matmuls beat the kernel's
+    # per-slot-group grid even though it reads bound-many rows: at these
+    # head counts (16) the VPU-side dequant+FLOPs per row dominate, not the
+    # HBM read the ragged exit saves. Kept as the capability-parity path
+    # (vLLM PagedAttention reads only live KV) for future chips/shapes; see
+    # docs/advanced/performance.md.
     ragged_decode: bool = False
 
     # Repetition-penalty prompt scope (reference parity): the reference's

@@ -165,8 +165,13 @@ class _VocodeBatcher:
         if kind == "seg_first" and getattr(self.engine, "seg_first_batch1", False):
             # a LONE first segment is the time-to-first-audio critical path;
             # with the flag on it runs a dedicated batch-1 executable instead
-            # of padding to 4 lanes of generator work (A/B: judge r2 item 10,
-            # measured in docs/advanced/performance.md)
+            # of padding to 4 lanes of generator work. Measured r3 TTFA A/B
+            # (concurrency 8, non-oversubscribed): batch-1 LOSES — p50
+            # 174.5 -> 186.3 ms, seg_first device time 136 -> 144 ms. The
+            # generator's convs are bandwidth-bound on WEIGHTS at these
+            # shapes, so the 4 lanes ride the same weight stream nearly
+            # free, while the batch-1 program tiles worse (sublane padding
+            # at batch 1). Default stays OFF (= padded batch-4).
             sizes = (1,) + sizes
         for b in sizes:
             if len(seq) <= b:
@@ -289,7 +294,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         kv_int8: Optional[bool] = None,
         decode_w8a8: Optional[bool] = None,
         unroll_layers: Optional[bool] = None,
-        slot_bucketing: bool = False,
+        slot_bucketing: Optional[bool] = None,
         conditioning_cache_size: int = 32,
         ref_length_quantum_s: float = 1.0,
         seg_first_batch1: bool = False,
@@ -426,6 +431,17 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             decode_slots or max(2, 2 * max_concurrency),
             slots_explicit=decode_slots is not None,
         )
+        if slot_bucketing is None:
+            # serving default on TPU: step only the first quarter/half of the
+            # slot array when the live set fits below it. Measured r3
+            # back-to-back e-book A/B (64 slots, concurrency 8):
+            # RTF 0.00639 -> 0.00538 (-16%) and TTFA p50 176 -> 147 ms —
+            # the bench's fill/drain phases (and any real traffic's) spend
+            # most steps under half occupancy, where the narrow programs cut
+            # attention traffic up to 4x. Costs a 3x decode-program set;
+            # warmup()/precompile_decode_programs() builds it AOT. Hermetic
+            # CPU tests default OFF (compile count dominates suite time).
+            slot_bucketing = jax.default_backend() == "tpu"
         # smallest young-block size that lets the first-segment speculation
         # fire after ONE block: after k steps a slot holds n = k+1 tokens and
         # the emit-safe frame count is total_pf(n-2) - PAD_PF (receptive-
@@ -1119,11 +1135,19 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         threading.Thread(target=warm, daemon=True, name=f"warm-row-{bucket}").start()
 
     def precompile_decode_programs(self) -> None:
-        """AOT-build the decode-block program set when slot bucketing needs
-        it (no-op otherwise — the default set compiles through warmup's
-        normal requests). Engine-level so ReplicatedTTSEngine forwards it."""
+        """Build every runner-dispatched program AOT: the decode-block set
+        when slot bucketing needs it (it compiles through warmup traffic
+        otherwise), plus ALL tokens-path insert programs — warmup traffic
+        cannot cover the (prompt bucket x burst size) matrix
+        deterministically (see DecodeEngine.precompile_inserts). Engine-level
+        so ReplicatedTTSEngine forwards it to every replica."""
         if self.decode_engine.slot_bucketing:
             self.decode_engine.precompile()
+        # cond width = the perceiver's fixed latent count; dtype f32 matches
+        # _cond_device's upload (get_gpt_cond_latents means in np.float32)
+        self.decode_engine.precompile_inserts(
+            cond_len=int(self.gpt_config.num_cond_latents)
+        )
 
     def precompile_vocoder_buckets(self, batch: int = 4) -> None:
         """Compile every (bucket, batch) row-vocoder program up front so

@@ -357,7 +357,12 @@ class PackedMRFStageSplit:
     per-block kernels, and the mean folds together in XLA in the SAME
     association order the unmerged path uses (((z1+z2)+z3)/3) — output is
     bit-identical to three separate calls. One x read is still saved per
-    merged block beyond the first."""
+    merged block beyond the first. Measured on-chip (r3, batch 4, 2788-frame
+    generator input): stage 0 split 20.7 ms vs per-block 11.0+13.2+15.2 =
+    39.4 ms (-47%); full-merge stages win similarly (stage1 34.9 vs 61.5,
+    stage2 41.0 vs 76.7, stage3 33.8 vs 74.3) and the whole vocoder runs
+    112.0 vs 130.3 ms — the packing recipe's merge>split>per-block
+    preference is the measured order."""
 
     def __init__(self, blocks: list, kernels, c: int, dtype=None,
                  vmem_budget: int = 14 * 2**20):

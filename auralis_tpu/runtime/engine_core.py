@@ -31,6 +31,7 @@ from .decode_loop import (
     harvest_latents_device,
     init_decode_state,
     insert_sequence,
+    PREFILL_BUCKETS,
     insert_sequence_tokens,
     insert_sequences,
     insert_sequences_tokens,
@@ -497,6 +498,73 @@ class DecodeEngine:
             n += 1
         logger.info(
             "decode programs precompiled: %d executables in %.1f s",
+            n, time.perf_counter() - t0,
+        )
+
+    def precompile_inserts(self, cond_len: int, cond_dtype=jnp.float32) -> None:
+        """Execute-to-warm every tokens-path insert program: the
+        (prefill bucket) x ({single} ∪ _INSERT_K_BUCKETS) cross product.
+
+        Warmup TRAFFIC cannot cover this set deterministically: burst sizes
+        depend on arrival timing (a gather of 8 requests forms one K=8
+        burst, never K=4/2), and prompt buckets depend on text length — the
+        r3 server-load bench measured a 43 s mid-window stall when 16 short
+        requests formed the first-ever (K=8, bucket 64) program on a
+        remote-compile rig. Execution (not .lower().compile()) populates the
+        jit call cache, and burst programs run as all-padding-lane no-ops
+        (slots == num_slots; every scatter in the burst body drops). The
+        SINGLE-insert program's cache writes clamp rather than drop
+        (dynamic_update_slice), so it prefills the genuinely free slot 0 and
+        releases it — hence boot-time only (asserted). state.rng is restored
+        so precompilation doesn't shift sampled trajectories."""
+        assert not self._slot_owner and not self._queue, (
+            "precompile_inserts must run before serving (it uses slot 0)"
+        )
+        d = self.cfg.hidden_size
+        rng_before = jax.device_get(self.state.rng)
+        buckets = [
+            b for b in PREFILL_BUCKETS if b <= self.cfg.max_seq_len
+        ] or [self.cfg.max_seq_len]
+        n = 0
+        t0 = time.perf_counter()
+        for b in buckets:
+            tb = b - cond_len
+            if tb < 1:
+                continue  # bucket can't hold cond + any ids
+            cond = jnp.zeros((cond_len, d), cond_dtype)
+            self.state = insert_sequence_tokens(
+                self.params, self.cfg, self.state,
+                cond, jnp.zeros((tb,), jnp.int32), jnp.int32(1), jnp.int32(0),
+                jnp.float32(1.0), jnp.float32(1.0), jnp.int32(1),
+                jnp.float32(1.0), jnp.bool_(False),
+            )
+            mask = np.zeros((self.num_slots,), bool)
+            mask[0] = True
+            self.state = release_slots(self.state, jnp.asarray(mask))
+            n += 1
+            for k in self._INSERT_K_BUCKETS:
+                self.state = insert_sequences_tokens(
+                    self.params, self.cfg, self.state,
+                    jnp.zeros((k, cond_len, d), cond_dtype),
+                    jnp.zeros((k, tb), jnp.int32),
+                    jnp.zeros((k,), jnp.int32),
+                    jnp.full((k,), self.num_slots, jnp.int32),
+                    jnp.ones((k,), jnp.float32),
+                    jnp.ones((k,), jnp.float32),
+                    jnp.ones((k,), jnp.int32),
+                    jnp.ones((k,), jnp.float32),
+                    jnp.zeros((k,), bool),
+                )
+                n += 1
+        rng = jnp.asarray(rng_before)
+        if self.mesh is not None:
+            from ..parallel.mesh import replicate
+
+            rng = replicate(rng, self.mesh)
+        self.state = self.state._replace(rng=rng)
+        jax.device_get(self.state.seq_lens[:1])  # drain queued work
+        logger.info(
+            "insert programs precompiled: %d executables in %.1f s",
             n, time.perf_counter() - t0,
         )
 

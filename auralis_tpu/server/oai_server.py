@@ -203,8 +203,8 @@ def start_tts_engine(args) -> TTS:
         kwargs["tensor_parallel_size"] = args.tensor_parallel_size
     if getattr(args, "data_parallel_replicas", 1) != 1:
         kwargs["data_parallel_replicas"] = args.data_parallel_replicas
-    if getattr(args, "slot_bucketing", False):
-        kwargs["slot_bucketing"] = True
+    if getattr(args, "slot_bucketing", None) is not None:
+        kwargs["slot_bucketing"] = args.slot_bucketing
     if getattr(args, "conditioning_cache_size", None) is not None:
         kwargs["conditioning_cache_size"] = args.conditioning_cache_size
     if getattr(args, "ref_length_quantum_s", None) is not None:
@@ -242,9 +242,11 @@ def main(argv: Optional[list] = None) -> None:
         help="independent engine replicas across local chips (throughput knob)",
     )
     parser.add_argument(
-        "--slot_bucketing", action="store_true",
+        "--slot_bucketing", action=argparse.BooleanOptionalAction, default=None,
         help="narrow (quarter/half-width) decode programs at low occupancy "
-             "with automatic slot compaction; use with --warmup",
+             "with automatic slot compaction (default ON on TPU, measured "
+             "-16%% e-book RTF / -16%% TTFA p50; 3x decode-program set — "
+             "use with --warmup). --no-slot_bucketing opts out",
     )
     parser.add_argument(
         "--conditioning_cache_size", type=int, default=None,

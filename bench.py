@@ -72,13 +72,20 @@ def build_engine():
         # flat-layout KV is ~4.7 GiB at 64 slots; chunk parallelism >> request count
         decode_slots=int(os.environ.get("BENCH_DECODE_SLOTS", "64")),
         steps_per_sync=int(os.environ.get("BENCH_STEPS_PER_SYNC", "64")),
-        slot_bucketing=os.environ.get("BENCH_SLOT_BUCKETING", "") == "1",
+        # default None -> engine default (ON on TPU since the r3 A/B);
+        # env overrides both ways for A/B reruns
+        slot_bucketing=(
+            None
+            if (_sb := os.environ.get("BENCH_SLOT_BUCKETING")) is None
+            else _sb == "1"
+        ),
         seg_first_batch1=os.environ.get("BENCH_SEG_FIRST_BATCH1", "") == "1",
     )
-    if engine.decode_engine.slot_bucketing:
-        # narrow slot-bucket programs + migrate_slot must never compile
-        # mid-measurement (precompile FIRST, then warm, then measure)
-        engine.decode_engine.precompile()
+    # no program may compile mid-measurement: decode blocks (slot-bucket
+    # widths + migrate_slot) AND the (prompt bucket x burst size) insert
+    # matrix — the r3 server-load section measured a 43 s stall when 16
+    # short requests formed the first (K=8, bucket 64) insert program
+    engine.precompile_decode_programs()
     return engine, cfg
 
 

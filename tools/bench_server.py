@@ -126,3 +126,13 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # the axon PJRT client's destructor-time teardown can raise out of a
+    # background thread after a TestServer run ("terminate called after
+    # throwing an instance of ''", observed r3) — results are already
+    # printed, so skip interpreter finalization
+    import os
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
