@@ -11,12 +11,35 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 
+import hashlib
+
 import jax
+
+
+def _host_fingerprint() -> str:
+    """XLA's CPU executables are AOT-compiled for the build host's CPU
+    features, and JAX's persistent-cache key does NOT include them — loading
+    an executable cached on a different host segfaults the interpreter
+    (observed: cpu_aot_loader feature-mismatch crash inside
+    compilation_cache.get_executable_and_time). Key the cache directory by
+    the host's CPU flags so a host change gets a fresh cache instead."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((line for line in f if line.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    import jaxlib
+
+    seed = flags + getattr(jaxlib, "__version__", "")
+    return hashlib.md5(seed.encode()).hexdigest()[:12]
+
 
 # The environment's axon site hook force-sets jax_platforms="axon,cpu" at
 # interpreter start; override it back to hermetic CPU before first backend use.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
