@@ -37,14 +37,34 @@ def _host_fingerprint() -> str:
 # The environment's axon site hook force-sets jax_platforms="axon,cpu" at
 # interpreter start; override it back to hermetic CPU before first backend use.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update(
-    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_fingerprint()}"
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if os.environ.get("AURALIS_TEST_NO_CACHE", "") != "1":
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_fingerprint()}"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import gc
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _shallow_executable_depth():
+    """Bound the number of live XLA executables in the test process.
+
+    Reading a large persistent-cache entry into a process already holding
+    ~1400 loaded CPU executables segfaults inside
+    compilation_cache.get_executable_and_time (deterministic at suite
+    position ~97%, test_w8a8's teacher-forced scan; the SAME entry loads
+    fine into a fresh process — an XLA CPU AOT-loader depth problem, most
+    plausibly code-model relocation range). Clearing jit caches after each
+    test module keeps every cache *read* shallow; the warm disk cache makes
+    the re-loads cheap."""
+    yield
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")
