@@ -111,6 +111,37 @@ def read_wav(source: AudioSource) -> tuple[np.ndarray, int]:
     return np.ascontiguousarray(x), sample_rate
 
 
+def wav_stream_header(
+    sample_rate: int, n_channels: int = 1, sample_width: int = 2
+) -> bytes:
+    """RIFF header for a PCM stream of UNKNOWN length (chunked HTTP
+    responses): the RIFF and data chunk sizes are 0xFFFFFFFF, the streaming
+    convention players, browsers and ffmpeg accept (they read until EOF).
+    Pair with raw little-endian sample frames written after it."""
+    if sample_width == 2:
+        fmt_tag, bits = WAVE_FORMAT_PCM, 16
+    elif sample_width == 4:
+        fmt_tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
+    else:
+        raise UnsupportedAudioFormat(f"Unsupported sample width: {sample_width}")
+    byte_rate = sample_rate * n_channels * (bits // 8)
+    block_align = n_channels * (bits // 8)
+    return b"".join(
+        [
+            b"RIFF",
+            struct.pack("<I", 0xFFFFFFFF),
+            b"WAVE",
+            b"fmt ",
+            struct.pack(
+                "<IHHIIHH", 16, fmt_tag, n_channels, sample_rate, byte_rate,
+                block_align, bits,
+            ),
+            b"data",
+            struct.pack("<I", 0xFFFFFFFF),
+        ]
+    )
+
+
 def write_wav(
     target: Union[str, Path, io.BytesIO],
     audio: np.ndarray,

@@ -3,7 +3,9 @@ entrypoints/oai_server.py, built on aiohttp — FastAPI isn't in this image).
 
 Endpoints:
 - POST /v1/audio/speech      — text -> audio bytes (wav/pcm; compressed
-  formats require an external encoder and return 400)
+  formats require an external encoder and return 400). With
+  `stream_format` ("sse" | "audio") the response streams chunk-by-chunk
+  as the engine synthesizes (the reference buffers the whole request)
 - POST /v1/chat/completions  — proxies a streaming chat completion to an
   upstream LLM and interleaves base64 `audio.chunk` SSE events, vocalizing
   every N accumulated words
@@ -22,6 +24,7 @@ from typing import Optional
 
 from aiohttp import ClientSession, ClientTimeout, web
 
+from ..common import audio_io
 from ..common.logger import setup_logger
 from ..core.tts import TTS
 from .openai_schemas import AudioSpeechGenerationRequest, VoiceChatCompletionRequest
@@ -42,6 +45,8 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
         body = AudioSpeechGenerationRequest.model_validate(await request.json())
     except Exception as e:
         return _error(400, str(e))
+    if body.stream_format is not None:
+        return await _stream_audio_speech(request, tts, body)
     try:
         # __post_init__ may run reference enhancement (decode + numpy DSP):
         # keep it off the serving loop
@@ -64,6 +69,111 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
         "aac": "audio/aac",
     }.get(body.response_format, "application/octet-stream")
     return web.Response(body=payload, content_type=content_type)
+
+
+async def _stream_audio_speech(
+    request: web.Request, tts: TTS, body: AudioSpeechGenerationRequest
+) -> web.StreamResponse:
+    """Streaming synthesis: audio flows at the first synthesized chunk
+    (engine TTFA, ~150 ms on-chip) instead of after the whole request.
+
+    `stream_format="sse"` emits OpenAI-style `speech.audio.delta` events
+    (base64 s16le PCM at the engine sample rate) terminated by
+    `speech.audio.done`; `stream_format="audio"` emits chunked raw bytes —
+    for "wav" a RIFF header with streaming (0xFFFFFFFF) sizes followed by
+    PCM frames, for "pcm" the frames alone. The reference server has no
+    streaming speech path (entrypoints/oai_server.py:65-93 buffers); this
+    rides the engine's chunk-granular streaming generator."""
+    if body.response_format not in ("wav", "pcm"):
+        return _error(
+            400,
+            "streaming synthesis supports response_format 'wav' or 'pcm' "
+            f"(got '{body.response_format}': compressed formats need a "
+            "whole-signal encode — drop stream_format for those)",
+        )
+    if body.speed != 1.0:
+        return _error(
+            400,
+            "speed adjustment needs the whole signal (phase vocoder) and "
+            "cannot stream; drop stream_format or use speed=1.0",
+        )
+    try:
+        tts_request = await asyncio.to_thread(body.to_tts_request)
+        agen = await tts.generate_speech_async(tts_request)
+    except ValueError as e:
+        return _error(400, str(e))
+    except Exception as e:
+        logger.error("Streaming speech setup failed: %s", e)
+        return _error(500, str(e))
+
+    # pull the FIRST chunk before committing to a 200: phase-1 failures
+    # (bad language, unspeakable text) become clean HTTP errors, not a
+    # 200 that dies mid-body
+    try:
+        first = await anext(agen)
+    except StopAsyncIteration:
+        first = None
+    except ValueError as e:
+        await agen.aclose()
+        return _error(400, str(e))
+    except Exception as e:
+        logger.error("Streaming speech failed before first chunk: %s", e)
+        await agen.aclose()
+        return _error(500, str(e))
+
+    sse = body.stream_format == "sse"
+    resp = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream" if sse
+            else ("audio/wav" if body.response_format == "wav" else "audio/pcm"),
+            "Cache-Control": "no-cache",
+        },
+    )
+    await resp.prepare(request)
+
+    async def send_event(payload: dict) -> None:
+        await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+
+    try:
+        if not sse and body.response_format == "wav":
+            sr = first.sample_rate if first is not None else 24000
+            await resp.write(audio_io.wav_stream_header(sr))
+        chunk = first
+        while chunk is not None:
+            pcm = chunk.to_bytes("pcm")
+            if sse:
+                await send_event(
+                    {
+                        "type": "speech.audio.delta",
+                        "audio": base64.b64encode(pcm).decode(),
+                        "sample_rate": chunk.sample_rate,
+                    }
+                )
+            else:
+                await resp.write(pcm)
+            try:
+                chunk = await anext(agen)
+            except StopAsyncIteration:
+                chunk = None
+        if sse:
+            await send_event({"type": "speech.audio.done"})
+    except (ConnectionResetError, asyncio.CancelledError):
+        # client went away: the finally acloses the generator, which cancels
+        # the in-flight decode work through the scheduler's cleanup
+        pass
+    except Exception as e:
+        logger.error("Streaming speech failed mid-stream: %s", e)
+        if sse:
+            try:
+                await send_event({"type": "error", "message": str(e)})
+            except ConnectionResetError:
+                pass
+        # raw-audio mode has no in-band error channel; closing the
+        # connection early is the signal
+    finally:
+        await agen.aclose()
+    return resp
 
 
 async def handle_chat_completions(request: web.Request) -> web.StreamResponse:

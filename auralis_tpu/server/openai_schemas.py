@@ -69,6 +69,13 @@ class AudioSpeechGenerationRequest(_TTSParamsMixin):
     voice: List[str] = Field(..., description="Base64-encoded reference audio files")
     response_format: Literal["mp3", "opus", "aac", "flac", "wav", "pcm"] = Field(default="wav")
     speed: float = Field(default=1.0)
+    stream_format: Optional[Literal["sse", "audio"]] = Field(
+        default=None,
+        description="Stream the synthesis instead of buffering it: 'sse' "
+        "emits speech.audio.delta/done events (base64 PCM chunks), 'audio' "
+        "emits chunked raw bytes (wav/pcm only). Audio starts flowing at "
+        "the first synthesized chunk instead of after the whole request.",
+    )
 
     @field_validator("voice")
     @classmethod
@@ -78,7 +85,7 @@ class AudioSpeechGenerationRequest(_TTSParamsMixin):
     def to_tts_request(self) -> TTSRequest:
         return TTSRequest(
             text=self.input,
-            stream=False,
+            stream=self.stream_format is not None,
             speaker_files=[base64.b64decode(f) for f in self.voice],
             **self._tts_kwargs(),
         )

@@ -126,6 +126,109 @@ def test_audio_speech_unsupported_format(app, voice_b64):
     assert b"encoder" in body
 
 
+def test_audio_speech_stream_sse(shared_tts, voice_b64):
+    """stream_format="sse": speech.audio.delta events (base64 PCM) as the
+    engine synthesizes, terminated by speech.audio.done. The concatenated
+    deltas must match the buffered non-streaming synthesis of the same
+    greedy request sample-for-sample (segment-wise vocoding differs from
+    whole-chunk vocoding by ~1e-4 float, a few int16 LSBs on the wire —
+    same tolerance test_streaming_vocoder pins)."""
+    import asyncio
+    import json as _json
+
+    payload = {
+        "input": "The first sentence streams early. The second sentence follows it.",
+        "model": "xttsv2",
+        "voice": [voice_b64],
+        "language": "en",
+        "do_sample": False,
+        "stream_format": "sse",
+    }
+    buf_payload = {**payload, "response_format": "pcm"}
+    del buf_payload["stream_format"]
+
+    async def run():
+        # a fresh app per request: an aiohttp Application binds to the
+        # first loop it starts on
+        r1 = await _request(build_app(shared_tts), "post", "/v1/audio/speech", json=payload)
+        r2 = await _request(build_app(shared_tts), "post", "/v1/audio/speech", json=buf_payload)
+        return r1, r2
+
+    (resp, body), (resp2, body2) = asyncio.run(run())
+    assert resp.status == 200, body
+    assert resp.headers["Content-Type"].startswith("text/event-stream")
+    events = [
+        _json.loads(line[len("data:"):].strip())
+        for line in body.decode().splitlines()
+        if line.startswith("data:")
+    ]
+    deltas = [e for e in events if e.get("type") == "speech.audio.delta"]
+    assert deltas, events
+    assert events[-1]["type"] == "speech.audio.done"
+    assert all(e["sample_rate"] == 24000 for e in deltas)
+    streamed = b"".join(base64.b64decode(e["audio"]) for e in deltas)
+    pcm = np.frombuffer(streamed, dtype="<i2")
+    assert pcm.size > 1000
+
+    assert resp2.status == 200
+    buffered = np.frombuffer(body2, dtype="<i2")
+    assert pcm.shape == buffered.shape
+    assert np.abs(pcm.astype(np.int32) - buffered.astype(np.int32)).max() <= 4
+
+
+def test_audio_speech_stream_raw_wav(app, voice_b64):
+    """stream_format="audio" + wav: a streaming RIFF header (0xFFFFFFFF
+    sizes) followed by raw PCM frames."""
+    import asyncio
+    import struct
+
+    payload = {
+        "input": "Raw chunked audio bytes flow here.",
+        "model": "xttsv2",
+        "voice": [voice_b64],
+        "language": "en",
+        "do_sample": False,
+        "response_format": "wav",
+        "stream_format": "audio",
+    }
+    resp, body = asyncio.run(_request(app, "post", "/v1/audio/speech", json=payload))
+    assert resp.status == 200, body
+    assert resp.content_type == "audio/wav"
+    assert body[:4] == b"RIFF"
+    assert struct.unpack("<I", body[4:8])[0] == 0xFFFFFFFF  # streaming size
+    assert body[8:12] == b"WAVE"
+    assert body[36:40] == b"data"
+    assert struct.unpack("<I", body[40:44])[0] == 0xFFFFFFFF  # data size
+    fmt = struct.unpack("<IHHIIHH", body[16:36])
+    assert fmt[1] == 1 and fmt[2] == 1 and fmt[3] == 24000 and fmt[6] == 16
+    pcm = np.frombuffer(body[44:], dtype="<i2")
+    assert pcm.size > 1000
+
+
+def test_audio_speech_stream_rejections(shared_tts, voice_b64):
+    """Compressed formats and speed changes cannot stream: clean 400s."""
+    import asyncio
+
+    base = {
+        "input": "hello there",
+        "model": "m",
+        "voice": [voice_b64],
+        "language": "en",
+        "stream_format": "audio",
+    }
+
+    async def run():
+        r1 = await _request(build_app(shared_tts), "post", "/v1/audio/speech",
+                            json={**base, "response_format": "mp3"})
+        r2 = await _request(build_app(shared_tts), "post", "/v1/audio/speech",
+                            json={**base, "speed": 1.5})
+        return r1, r2
+
+    (resp, body), (resp2, body2) = asyncio.run(run())
+    assert resp.status == 400 and b"stream" in body
+    assert resp2.status == 400 and b"speed" in body2
+
+
 def test_chat_completions_requires_url(app, voice_b64):
     import asyncio
 
