@@ -23,6 +23,14 @@ class TTSMetricsTracker:
         self.log_interval = log_interval
         self.window_start = time.time()
         self.last_log = self.window_start
+        self.started_at = self.window_start
+        # cumulative (never reset): the windowed counters drive the periodic
+        # log line; these drive the /metrics scrape endpoint, where the
+        # scraper computes its own rates from monotonic totals
+        self.total_requests = 0
+        self.total_tokens = 0
+        self.total_audio_seconds = 0.0
+        self.total_latency_sum = 0.0
         self.reset_window()
 
     def reset_window(self) -> None:
@@ -49,6 +57,10 @@ class TTSMetricsTracker:
         return (self.window_latency_sum * 1000.0) / self.window_audio_seconds
 
     def track(self, *, tokens: int, audio_seconds: float, latency: float) -> None:
+        self.total_requests += 1
+        self.total_tokens += tokens
+        self.total_audio_seconds += audio_seconds
+        self.total_latency_sum += latency
         self.window_requests += 1
         self.window_tokens += tokens
         self.window_audio_seconds += audio_seconds

@@ -9,6 +9,10 @@ Endpoints:
 - POST /v1/chat/completions  — proxies a streaming chat completion to an
   upstream LLM and interleaves base64 `audio.chunk` SSE events, vocalizing
   every N accumulated words
+- GET  /v1/voices            — named voices registered via --voices_dir
+  (clients pass a name as `voice` instead of base64 reference audio)
+- GET  /metrics              — Prometheus text exposition (cumulative
+  synthesis counters + decode-runner telemetry)
 - GET  /health               — liveness probe
 """
 from __future__ import annotations
@@ -32,10 +36,51 @@ from .openai_schemas import AudioSpeechGenerationRequest, VoiceChatCompletionReq
 logger = setup_logger("oai_server")
 
 TTS_ENGINE_KEY = web.AppKey("tts_engine", TTS)
+VOICES_KEY = web.AppKey("voices", dict)
 
 
 def _error(status: int, message: str) -> web.Response:
     return web.json_response({"error": {"message": message}}, status=status)
+
+
+def _resolve_voices(items: list, registry: dict) -> list:
+    """Map each voice item to a speaker reference: a name registered via
+    --voices_dir resolves to its audio file path, anything else must be
+    base64 audio (decoded to bytes). Lookup is by exact registered name —
+    user input is never joined with the directory, so no path traversal."""
+    out = []
+    for item in items:
+        if item in registry:
+            out.append(str(registry[item]))
+            continue
+        try:
+            out.append(base64.b64decode(item, validate=True))
+        except Exception:
+            known = ", ".join(sorted(registry)) or "none registered"
+            raise ValueError(
+                f"voice '{item[:48]}' is neither a registered voice name "
+                f"nor valid base64 audio (registered voices: {known})"
+            )
+    return out
+
+
+def scan_voices_dir(path) -> dict:
+    """Build the named-voice registry from a directory: every .wav/.flac
+    file registers its stem as a voice name (OpenAI-style 'voice': 'alloy'
+    without shipping reference audio per request). Conditioning latents are
+    cached per voice by the engine's LRU after first use."""
+    from pathlib import Path
+
+    registry = {}
+    root = Path(path)
+    if not root.is_dir():
+        raise ValueError(f"--voices_dir {path} is not a directory")
+    for f in sorted(root.iterdir()):
+        if f.suffix.lower() in (".wav", ".flac") and f.is_file():
+            registry[f.stem] = f.resolve()
+    if not registry:
+        logger.warning("--voices_dir %s contains no .wav/.flac files", path)
+    return registry
 
 
 async def handle_audio_speech(request: web.Request) -> web.Response:
@@ -45,12 +90,16 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
         body = AudioSpeechGenerationRequest.model_validate(await request.json())
     except Exception as e:
         return _error(400, str(e))
+    try:
+        speaker_files = _resolve_voices(body.voice, request.app[VOICES_KEY])
+    except ValueError as e:
+        return _error(400, str(e))
     if body.stream_format is not None:
-        return await _stream_audio_speech(request, tts, body)
+        return await _stream_audio_speech(request, tts, body, speaker_files)
     try:
         # __post_init__ may run reference enhancement (decode + numpy DSP):
         # keep it off the serving loop
-        tts_request = await asyncio.to_thread(body.to_tts_request)
+        tts_request = await asyncio.to_thread(body.to_tts_request, speaker_files)
         output = await tts.generate_speech_async(tts_request)
         if body.speed != 1.0:
             output = output.change_speed(body.speed)
@@ -72,7 +121,8 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
 
 
 async def _stream_audio_speech(
-    request: web.Request, tts: TTS, body: AudioSpeechGenerationRequest
+    request: web.Request, tts: TTS, body: AudioSpeechGenerationRequest,
+    speaker_files: list,
 ) -> web.StreamResponse:
     """Streaming synthesis: audio flows at the first synthesized chunk
     (engine TTFA, ~150 ms on-chip) instead of after the whole request.
@@ -98,7 +148,7 @@ async def _stream_audio_speech(
             "cannot stream; drop stream_format or use speed=1.0",
         )
     try:
-        tts_request = await asyncio.to_thread(body.to_tts_request)
+        tts_request = await asyncio.to_thread(body.to_tts_request, speaker_files)
         agen = await tts.generate_speech_async(tts_request)
     except ValueError as e:
         return _error(400, str(e))
@@ -183,6 +233,12 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         body = VoiceChatCompletionRequest.model_validate(await request.json())
     except Exception as e:
         return _error(400, str(e))
+    try:
+        speaker_files = _resolve_voices(
+            body.speaker_files, request.app[VOICES_KEY]
+        )
+    except ValueError as e:
+        return _error(400, str(e))
 
     resp = web.StreamResponse(
         status=200,
@@ -199,7 +255,9 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
         # to_tts_request runs TTSRequest.__post_init__ (language inference
         # + optional reference enhancement: file decode + numpy DSP) —
         # off-loop so a slow reference can't stall every concurrent stream
-        tts_request = await asyncio.to_thread(body.to_tts_request, text)
+        tts_request = await asyncio.to_thread(
+            body.to_tts_request, text, speaker_files
+        )
         output = await tts.generate_speech_async(tts_request)
         await send_event(
             {
@@ -280,11 +338,70 @@ async def handle_health(request: web.Request) -> web.Response:
     return web.json_response({"status": "ok", "engine_loaded": tts.tts_engine is not None})
 
 
-def build_app(tts: TTS) -> web.Application:
+async def handle_voices(request: web.Request) -> web.Response:
+    """Named voices registered via --voices_dir (usable as `voice` items)."""
+    return web.json_response({"voices": sorted(request.app[VOICES_KEY])})
+
+
+async def handle_metrics(request: web.Request) -> web.Response:
+    """Prometheus text exposition of the serving counters. The reference
+    only sketches Prometheus in its deployment docs; these are first-party:
+    cumulative totals from the generation tracker (scrapers derive their
+    own rates) plus decode-runner telemetry where the engine exposes it."""
+    from ..common.metrics import metrics as m
+
+    lines = [
+        "# HELP auralis_audio_chunks_total Audio chunks yielded by phase-2 generators",
+        "# TYPE auralis_audio_chunks_total counter",
+        f"auralis_audio_chunks_total {m.total_requests}",
+        "# HELP auralis_mel_tokens_total Mel-codec tokens decoded",
+        "# TYPE auralis_mel_tokens_total counter",
+        f"auralis_mel_tokens_total {m.total_tokens}",
+        "# HELP auralis_audio_seconds_total Seconds of audio synthesized",
+        "# TYPE auralis_audio_seconds_total counter",
+        f"auralis_audio_seconds_total {m.total_audio_seconds:.3f}",
+        "# HELP auralis_chunk_latency_seconds_sum Request-start-to-chunk latency, summed",
+        "# TYPE auralis_chunk_latency_seconds_sum counter",
+        f"auralis_chunk_latency_seconds_sum {m.total_latency_sum:.3f}",
+        "# HELP auralis_uptime_seconds Seconds since the metrics tracker started",
+        "# TYPE auralis_uptime_seconds gauge",
+        f"auralis_uptime_seconds {time.time() - m.started_at:.1f}",
+    ]
+    tts: TTS = request.app[TTS_ENGINE_KEY]
+    de = getattr(tts.tts_engine, "decode_engine", None)
+    if de is not None and getattr(de, "stats", None) is not None:
+        st = de.stats
+        blocks = st.get("blocks", 0)
+        lines += [
+            "# HELP auralis_decode_blocks_total Decode blocks dispatched",
+            "# TYPE auralis_decode_blocks_total counter",
+            f"auralis_decode_blocks_total {blocks}",
+            "# HELP auralis_decode_inserts_total Sequences inserted into decode slots",
+            "# TYPE auralis_decode_inserts_total counter",
+            f"auralis_decode_inserts_total {st.get('inserts', 0)}",
+            "# HELP auralis_decode_slots Configured decode slots",
+            "# TYPE auralis_decode_slots gauge",
+            f"auralis_decode_slots {de.num_slots}",
+            "# HELP auralis_decode_slot_occupancy_avg Mean live slots per decode block",
+            "# TYPE auralis_decode_slot_occupancy_avg gauge",
+            f"auralis_decode_slot_occupancy_avg "
+            f"{(st.get('occupancy_sum', 0) / blocks) if blocks else 0.0:.2f}",
+        ]
+    return web.Response(
+        text="\n".join(lines) + "\n",
+        content_type="text/plain",
+        charset="utf-8",
+    )
+
+
+def build_app(tts: TTS, voices: Optional[dict] = None) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app[TTS_ENGINE_KEY] = tts
+    app[VOICES_KEY] = dict(voices or {})
     app.router.add_post("/v1/audio/speech", handle_audio_speech)
     app.router.add_post("/v1/chat/completions", handle_chat_completions)
+    app.router.add_get("/v1/voices", handle_voices)
+    app.router.add_get("/metrics", handle_metrics)
     app.router.add_get("/health", handle_health)
 
     async def _shutdown_engine(app: web.Application) -> None:
@@ -364,6 +481,13 @@ def main(argv: Optional[list] = None) -> None:
              "per entry — raise for many-voice fleets)",
     )
     parser.add_argument(
+        "--voices_dir", default=None,
+        help="directory of .wav/.flac files registering named voices: a "
+             "file stem becomes a `voice` value clients can use instead of "
+             "shipping base64 reference audio per request (GET /v1/voices "
+             "lists them)",
+    )
+    parser.add_argument(
         "--ref_length_quantum_s", type=float, default=None,
         help="reference-audio lengths truncate DOWN to this grid in seconds "
              "(default 1.0) bounding the conditioning-program shape set; "
@@ -371,12 +495,15 @@ def main(argv: Optional[list] = None) -> None:
     )
     args = parser.parse_args(argv)
 
+    voices = scan_voices_dir(args.voices_dir) if args.voices_dir else {}
+    if voices:
+        logger.info("Registered %d named voices: %s", len(voices), ", ".join(sorted(voices)))
     tts = start_tts_engine(args)
     if args.warmup:
         logger.info("Warming up (compiling all serving programs)…")
         tts.warmup()
         logger.info("Warmup complete")
-    app = build_app(tts)
+    app = build_app(tts, voices=voices)
     logger.info("Serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import base64
 from dataclasses import fields as dc_fields
-from typing import Any, Dict, List, Literal, Optional
+from typing import Any, Dict, List, Literal, Optional, Union
 
 from pydantic import BaseModel, Field, field_validator
 
@@ -19,17 +19,6 @@ _tts_defaults = {
 class ChatCompletionMessage(BaseModel):
     role: Literal["system", "user", "assistant"]
     content: str
-
-
-def _validate_b64_list(v: List[str], what: str) -> List[str]:
-    if not v:
-        raise ValueError(f"At least one {what} is required")
-    for item in v:
-        try:
-            base64.b64decode(item, validate=True)
-        except Exception:
-            raise ValueError(f"Invalid base64 encoding in {what}")
-    return v
 
 
 class _TTSParamsMixin(BaseModel):
@@ -66,7 +55,12 @@ class AudioSpeechGenerationRequest(_TTSParamsMixin):
 
     input: str = Field(..., description="Text to synthesize")
     model: str = Field(..., description="Model name (informational)")
-    voice: List[str] = Field(..., description="Base64-encoded reference audio files")
+    voice: Union[str, List[str]] = Field(
+        ...,
+        description="Base64-encoded reference audio files, or names of "
+        "voices registered server-side via --voices_dir (OpenAI-style "
+        "'voice': 'alloy'); a plain string means one voice",
+    )
     response_format: Literal["mp3", "opus", "aac", "flac", "wav", "pcm"] = Field(default="wav")
     speed: float = Field(default=1.0)
     stream_format: Optional[Literal["sse", "audio"]] = Field(
@@ -80,13 +74,27 @@ class AudioSpeechGenerationRequest(_TTSParamsMixin):
     @field_validator("voice")
     @classmethod
     def _check_voice(cls, v):
-        return _validate_b64_list(v, "voice file")
+        # normalize to a list; items may be base64 payloads OR registered
+        # voice names — which is which is only known server-side (the
+        # --voices_dir registry), so per-item validation happens at
+        # resolution time in the handler
+        v = [v] if isinstance(v, str) else v
+        if not v:
+            raise ValueError("At least one voice file is required")
+        return v
 
-    def to_tts_request(self) -> TTSRequest:
+    def to_tts_request(self, speaker_files: Optional[list] = None) -> TTSRequest:
+        """`speaker_files` carries name-resolved references (paths/bytes)
+        from the server's voice registry; without it every voice item must
+        be base64 audio."""
         return TTSRequest(
             text=self.input,
             stream=self.stream_format is not None,
-            speaker_files=[base64.b64decode(f) for f in self.voice],
+            speaker_files=(
+                speaker_files
+                if speaker_files is not None
+                else [base64.b64decode(f, validate=True) for f in self.voice]
+            ),
             **self._tts_kwargs(),
         )
 
@@ -123,13 +131,23 @@ class VoiceChatCompletionRequest(_TTSParamsMixin):
     @field_validator("speaker_files")
     @classmethod
     def _check_speakers(cls, v):
-        return _validate_b64_list(v, "speaker file")
+        # items may be base64 audio OR --voices_dir names (resolved
+        # server-side); only non-emptiness is checkable here
+        if not v:
+            raise ValueError("At least one speaker file is required")
+        return v
 
-    def to_tts_request(self, text: str = "") -> TTSRequest:
+    def to_tts_request(
+        self, text: str = "", speaker_files: Optional[list] = None
+    ) -> TTSRequest:
         return TTSRequest(
             text=text,
             stream=False,
-            speaker_files=[base64.b64decode(f) for f in self.speaker_files],
+            speaker_files=(
+                speaker_files
+                if speaker_files is not None
+                else [base64.b64decode(f, validate=True) for f in self.speaker_files]
+            ),
             **self._tts_kwargs(),
         )
 

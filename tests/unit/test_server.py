@@ -229,6 +229,66 @@ def test_audio_speech_stream_rejections(shared_tts, voice_b64):
     assert resp2.status == 400 and b"speed" in body2
 
 
+def test_named_voices_and_metrics(shared_tts, tmp_path):
+    """--voices_dir named voices: a registered stem works as `voice` (plain
+    string accepted, OpenAI-style), unknown names 400 with the registry
+    listed, GET /v1/voices enumerates, and GET /metrics exposes cumulative
+    Prometheus counters that grow with traffic."""
+    import asyncio
+
+    from auralis_tpu.server.oai_server import scan_voices_dir
+
+    sine_wav(tmp_path / "alloy.wav")
+    (tmp_path / "readme.txt").write_text("not audio")
+    voices = scan_voices_dir(tmp_path)
+    assert list(voices) == ["alloy"]
+
+    payload = {
+        "input": "A named voice speaks.",
+        "model": "xttsv2",
+        "voice": "alloy",
+        "language": "en",
+        "do_sample": False,
+    }
+
+    async def run():
+        app = build_app(shared_tts, voices=voices)
+        async with TestClient(TestServer(app)) as client:
+            r_voices = await client.get("/v1/voices")
+            listing = await r_voices.json()
+            r_speech = await client.post("/v1/audio/speech", json=payload)
+            speech = await r_speech.read()
+            r_metrics = await client.get("/metrics")
+            metrics_text = await r_metrics.text()
+            r_unknown = await client.post(
+                "/v1/audio/speech", json={**payload, "voice": "##ghost##"}
+            )
+            unknown = await r_unknown.read()
+        return (
+            (r_voices.status, listing),
+            (r_speech.status, speech),
+            (r_metrics.status, metrics_text),
+            (r_unknown.status, unknown),
+        )
+
+    (vs, listing), (ss, speech), (ms, mtext), (us, unknown) = asyncio.run(run())
+    assert vs == 200 and listing == {"voices": ["alloy"]}
+    assert ss == 200, speech
+    audio, sr = audio_io.read_wav(speech)
+    assert sr == 24000 and audio.shape[-1] > 1000
+    assert ms == 200
+    counters = {
+        line.split()[0]: float(line.split()[1])
+        for line in mtext.splitlines()
+        if line and not line.startswith("#")
+    }
+    assert counters["auralis_audio_chunks_total"] >= 1
+    assert counters["auralis_audio_seconds_total"] > 0
+    assert counters["auralis_mel_tokens_total"] > 0
+    assert us == 400
+    assert b"alloy" in unknown  # the registry is listed in the error
+
+
 def test_chat_completions_requires_url(app, voice_b64):
     import asyncio
 
