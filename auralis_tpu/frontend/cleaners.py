@@ -107,12 +107,16 @@ _ORDINAL_RE: dict[str, re.Pattern] = {
     "tr": re.compile(r"([0-9]+)(\.|inci|nci|uncu|üncü)"),
     "hu": re.compile(r"([0-9]+)(\.|adik|edik|odik|ödik|ik)"),
     "ko": re.compile(r"([0-9]+)(번째|번|차|째)"),
+    "hi": re.compile(r"([0-9]+)(ला|रा|था|ठा|वाँ|वां|वें|वीं)"),
 }
 
 _PLAIN_NUMBER_RE = re.compile(r"[0-9]+")
 _DECIMAL_RE = re.compile(r"([0-9]+[.,][0-9]+)")
 _COMMA_GROUPED_RE = re.compile(r"\b\d{1,3}(,\d{3})*(\.\d+)?\b")
 _DOT_GROUPED_RE = re.compile(r"\b\d{1,3}(\.\d{3})*(\,\d+)?\b")
+# Indian-system comma grouping (2,2,3 from the right: 1,00,000 = one lakh);
+# Hindi also uses Western 3-grouping, so hi strips this THEN the Western form
+_INDIAN_GROUPED_RE = re.compile(r"\b\d{1,2}(,\d{2})*(,\d{3})(\.\d+)?\b")
 _CURRENCY_RES = {
     "USD": re.compile(r"((\$[0-9\.\,]*[0-9]+)|([0-9\.\,]*[0-9]+\$))"),
     "GBP": re.compile(r"((£[0-9\.\,]*[0-9]+)|([0-9\.\,]*[0-9]+£))"),
@@ -152,7 +156,13 @@ def expand_numbers(text: str, lang: str = "en") -> str:
     lang = lang.split("-")[0]  # "zh-cn" -> "zh": never fall into the en branch
     if lang == "zh":
         return ZhTextNorm()(text)
-    if lang in ("en", "ru"):
+    if lang in ("en", "ru", "hi"):
+        # comma-grouping languages; Hindi additionally writes the Indian
+        # system (1,00,000) and uses dot as the decimal mark, so it must NOT
+        # fall into the dot-grouping branch (which mangles '3.14' -> '314'
+        # style decimals and reads '1,000' as the decimal 'एक दशमलव शून्य')
+        if lang == "hi":
+            text = _INDIAN_GROUPED_RE.sub(lambda m: m.group(0).replace(",", ""), text)
         text = _COMMA_GROUPED_RE.sub(lambda m: m.group(0).replace(",", ""), text)
     else:
         text = _DOT_GROUPED_RE.sub(lambda m: m.group(0).replace(".", ""), text)
@@ -171,7 +181,14 @@ def expand_numbers(text: str, lang: str = "en") -> str:
             lambda m: nw.decimal(float(m.group(1).replace(",", ".")), lang), text
         )
     if lang in _ORDINAL_RE:
-        text = _ORDINAL_RE[lang].sub(lambda m: nw.ordinal(int(m.group(1)), lang), text)
+        def _ord(m: re.Match) -> str:
+            word = nw.ordinal(int(m.group(1)), lang)
+            if lang == "hi" and word.endswith("वाँ") and m.group(2) in ("वीं", "वें"):
+                # regular ordinals keep the source suffix's gender/number
+                # (21वीं सदी stays feminine); irregulars (पहला...) are fixed
+                word = word[: -len("वाँ")] + m.group(2)
+            return word
+        text = _ORDINAL_RE[lang].sub(_ord, text)
     text = _PLAIN_NUMBER_RE.sub(lambda m: nw.cardinal(int(m.group(0)), lang), text)
     return text
 

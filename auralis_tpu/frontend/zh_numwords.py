@@ -142,8 +142,10 @@ def _time_sub(m: re.Match) -> str:
             out += "整"  # '8:30整' -> 八点三十分整 (sharp), not dropped
     if s:
         out += int_to_hanzi(int(s)) + "秒"
-        if suffix:
-            out += suffix
+        if suffix == "整":
+            out += "整"  # '9:00:00整' -> 九点零分零秒整 (sharp)
+        # a trailing 分 after seconds ('14:05:09分') contradicts the spoken
+        # form — the minutes already carry 分 — so it is consumed, not echoed
     return out
 
 

@@ -532,6 +532,13 @@ class DecodeEngine:
             if tb < 1:
                 continue  # bucket can't hold cond + any ids
             cond = jnp.zeros((cond_len, d), cond_dtype)
+            if self.mesh is not None:
+                # serving conds arrive mesh-replicated (_cond_device); the
+                # jit cache keys on sharding, so warming with an unsharded
+                # cond would leave the real programs uncompiled under tp>1
+                from ..parallel.mesh import replicate
+
+                cond = replicate(cond, self.mesh)
             self.state = insert_sequence_tokens(
                 self.params, self.cfg, self.state,
                 cond, jnp.zeros((tb,), jnp.int32), jnp.int32(1), jnp.int32(0),
@@ -543,9 +550,12 @@ class DecodeEngine:
             self.state = release_slots(self.state, jnp.asarray(mask))
             n += 1
             for k in self._INSERT_K_BUCKETS:
+                # built as stack-of-[C,D] like the serving burst path
+                # (jnp.stack(conds)), so the warmed program's cond sharding
+                # matches what dispatch will pass under a mesh
                 self.state = insert_sequences_tokens(
                     self.params, self.cfg, self.state,
-                    jnp.zeros((k, cond_len, d), cond_dtype),
+                    jnp.stack([cond] * k),
                     jnp.zeros((k, tb), jnp.int32),
                     jnp.zeros((k,), jnp.int32),
                     jnp.full((k,), self.num_slots, jnp.int32),

@@ -77,6 +77,11 @@ def scan_voices_dir(path) -> dict:
         raise ValueError(f"--voices_dir {path} is not a directory")
     for f in sorted(root.iterdir()):
         if f.suffix.lower() in (".wav", ".flac") and f.is_file():
+            if f.stem in registry:
+                logger.warning(
+                    "--voices_dir: voice '%s' defined by both %s and %s; "
+                    "using %s", f.stem, registry[f.stem].name, f.name, f.name,
+                )
             registry[f.stem] = f.resolve()
     if not registry:
         logger.warning("--voices_dir %s contains no .wav/.flac files", path)
@@ -503,6 +508,14 @@ def main(argv: Optional[list] = None) -> None:
         logger.info("Warming up (compiling all serving programs)…")
         tts.warmup()
         logger.info("Warmup complete")
+    else:
+        logger.warning(
+            "Serving WITHOUT --warmup: every decode/insert/vocoder program "
+            "compiles lazily on first use (multi-second stalls mid-traffic "
+            "on a remote-compile rig; slot_bucketing defaults ON on TPU and "
+            "adds narrow decode + slot-compaction programs to that set). "
+            "Pass --warmup for production."
+        )
     app = build_app(tts, voices=voices)
     logger.info("Serving on http://%s:%d", args.host, args.port)
     web.run_app(app, host=args.host, port=args.port, print=None)

@@ -126,6 +126,10 @@ def test_chinese_numbers():
         # silently rewritten ('9:00分' keeps 分; '8:30整' keeps the sharp 整)
         ("9:00分开会", "九点零分开会"),
         ("8:30整出发", "八点三十分整出发"),
+        # a trailing 分 after SECONDS contradicts the spoken form (minutes
+        # already carry 分) — consumed, never echoed after 秒; 整 is kept
+        ("会议14:05:09分开始", "会议十四点五分九秒开始"),
+        ("9:00:00整到了", "九点零分零秒整到了"),
         # score context: not a clock time — falls through to plain numbers
         ("比分是2:30", "比分是二:三十"),
         # ISO dash dates read as dates, not as the generic range rule

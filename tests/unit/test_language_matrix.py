@@ -58,6 +58,29 @@ def test_cleaners_produce_text(lang):
         assert "一九九九" in out, f"zh-cn digits read in English: {out!r}"
 
 
+def test_hindi_grouping_ordinals_decimals():
+    """Hindi number conventions: comma grouping (both Western 1,000 and
+    Indian-system 1,00,000) reads as a cardinal, NOT as a European decimal;
+    dot is the decimal mark; ordinal suffixes reach the irregular table
+    (1ला -> पहला) and regular ordinals keep the source suffix's gender
+    (21वीं stays feminine)."""
+    from auralis_tpu.frontend.cleaners import expand_numbers
+
+    cases = [
+        ("उसने 1,000 रुपये दिए", "उसने एक हज़ार रुपये दिए"),
+        ("जनसंख्या 1,00,000 है", "जनसंख्या एक लाख है"),
+        ("मूल्य 12,34,567 था", "मूल्य बारह लाख चौंतीस हज़ार पाँच सौ सड़सठ था"),
+        ("पाई 3.14 है", "पाई तीन दशमलव एक चार है"),
+        ("वह 1ला था", "वह पहला था"),
+        ("वह 2रा था", "वह दूसरा था"),
+        ("वह 6ठा था", "वह छठा था"),
+        ("7वां दिन", "सातवाँ दिन"),
+        ("21वीं सदी", "इक्कीसवीं सदी"),
+    ]
+    for src, want in cases:
+        assert expand_numbers(src, "hi") == want, (src, expand_numbers(src, "hi"))
+
+
 @pytest.mark.parametrize("lang", sorted(SAMPLES))
 def test_chunking_and_tokenization(lang):
     tok = build_tiny_tokenizer()

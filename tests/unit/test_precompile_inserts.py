@@ -94,3 +94,96 @@ def test_precompile_inserts_refuses_live_slots(model):
             eng.precompile_inserts(cond_len=cfg.num_cond_latents)
     finally:
         eng._slot_owner.clear()
+
+
+
+
+def test_precompile_inserts_warms_meshed_programs(model):
+    """Under a tp mesh the jit/XLA caches key on input SHARDING: serving
+    conds arrive mesh-replicated (engine._cond_device), so precompile must
+    warm with replicated conds or every warmed executable misses and the
+    first real insert pays a full XLA compile mid-serving — exactly the
+    stall precompile exists to prevent. Pinned by capturing jax's
+    log_compiles stream: after precompile, a serving-shaped single insert
+    and burst insert must trigger ZERO 'Compiling jit(insert_*' events
+    (a cheap re-trace that hits the lowering cache is acceptable; an XLA
+    compile is not)."""
+    import logging
+
+    from auralis_tpu.parallel.mesh import make_mesh, replicate
+    from auralis_tpu.runtime.decode_loop import (
+        PREFILL_BUCKETS,
+        insert_sequences_tokens,
+    )
+
+    cfg, params = model
+    mesh = make_mesh(data=1, model=4)
+    eng = DecodeEngine(
+        params, cfg, num_slots=4, cache_dtype=jnp.float32, seed=3, mesh=mesh
+    )
+    eng.precompile_inserts(cond_len=cfg.num_cond_latents)
+
+    class _Capture(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.msgs = []
+
+        def emit(self, record):
+            self.msgs.append(record.getMessage())
+
+    cap = _Capture()
+    pxla_logger = logging.getLogger("jax._src.interpreters.pxla")
+    pxla_logger.addHandler(cap)
+    prev = jax.config.jax_log_compiles
+    jax.config.update("jax_log_compiles", True)
+    try:
+        # a real request: cond replicated like engine._cond_device does
+        tp = _prompt(cfg)
+        tp = TokenPrompt(cond=replicate(tp.cond, mesh), ids=tp.ids)
+
+        async def run():
+            try:
+                return await eng.generate(tp, SamplingOptions(do_sample=False))
+            finally:
+                await eng.shutdown()
+
+        tokens, latents = asyncio.run(run())
+        assert len(tokens) > 0 and np.isfinite(np.asarray(latents)).all()
+
+        # the serving burst builds jnp.stack(conds) from replicated [C,D]
+        # rows; the same construction must hit the warmed burst executable
+        k = DecodeEngine._INSERT_K_BUCKETS[0]
+        bucket = next(b for b in PREFILL_BUCKETS if b <= cfg.max_seq_len)
+        tb = bucket - cfg.num_cond_latents
+        eng2 = DecodeEngine(
+            params, cfg, num_slots=4, cache_dtype=jnp.float32, seed=4, mesh=mesh
+        )
+        eng2.precompile_inserts(cond_len=cfg.num_cond_latents)
+        conds = [
+            replicate(jnp.asarray(_prompt(cfg, seed=i).cond), mesh)
+            for i in range(k)
+        ]
+        eng2.state = insert_sequences_tokens(
+            eng2.params, cfg, eng2.state,
+            jnp.stack(conds),
+            jnp.zeros((k, tb), jnp.int32),
+            jnp.zeros((k,), jnp.int32),
+            jnp.full((k,), eng2.num_slots, jnp.int32),
+            jnp.ones((k,), jnp.float32),
+            jnp.ones((k,), jnp.float32),
+            jnp.ones((k,), jnp.int32),
+            jnp.ones((k,), jnp.float32),
+            jnp.zeros((k,), bool),
+        )
+    finally:
+        jax.config.update("jax_log_compiles", prev)
+        pxla_logger.removeHandler(cap)
+
+    compiled_inserts = [
+        m for m in cap.msgs
+        if m.startswith("Compiling jit(insert_sequence")
+    ]
+    assert not compiled_inserts, (
+        "insert program XLA-compiled mid-serving: precompiled cond "
+        f"sharding != serving's ({len(compiled_inserts)} events)"
+    )
