@@ -115,8 +115,10 @@ _DECIMAL_RE = re.compile(r"([0-9]+[.,][0-9]+)")
 _COMMA_GROUPED_RE = re.compile(r"\b\d{1,3}(,\d{3})*(\.\d+)?\b")
 _DOT_GROUPED_RE = re.compile(r"\b\d{1,3}(\.\d{3})*(\,\d+)?\b")
 # Indian-system comma grouping (2,2,3 from the right: 1,00,000 = one lakh);
-# Hindi also uses Western 3-grouping, so hi strips this THEN the Western form
-_INDIAN_GROUPED_RE = re.compile(r"\b\d{1,2}(,\d{2})*(,\d{3})(\.\d+)?\b")
+# Hindi also uses Western 3-grouping, so hi strips this THEN the Western form.
+# At least one 2-digit group is required so Western-grouped numbers
+# ('1,234,567') never partially match ('1,234' -> a bogus decimal).
+_INDIAN_GROUPED_RE = re.compile(r"\b\d{1,2}(,\d{2})+(,\d{3})(\.\d+)?\b")
 _CURRENCY_RES = {
     "USD": re.compile(r"((\$[0-9\.\,]*[0-9]+)|([0-9\.\,]*[0-9]+\$))"),
     "GBP": re.compile(r"((£[0-9\.\,]*[0-9]+)|([0-9\.\,]*[0-9]+£))"),

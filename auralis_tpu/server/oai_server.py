@@ -43,24 +43,36 @@ def _error(status: int, message: str) -> web.Response:
     return web.json_response({"error": {"message": message}}, status=status)
 
 
+# smaller than any real audio payload: an unregistered voice NAME that
+# happens to be valid base64 ('echo', 'nova' — any 4-char string decodes)
+# must get the helpful 400, not an opaque decode failure deep in audio IO
+_MIN_B64_AUDIO_BYTES = 512
+
+
 def _resolve_voices(items: list, registry: dict) -> list:
     """Map each voice item to a speaker reference: a name registered via
     --voices_dir resolves to its audio file path, anything else must be
     base64 audio (decoded to bytes). Lookup is by exact registered name —
-    user input is never joined with the directory, so no path traversal."""
+    user input is never joined with the directory, so no path traversal.
+
+    CPU-bound for large payloads (up to ~48 MB of base64 per item under the
+    64 MB client_max_size): callers run it via asyncio.to_thread."""
     out = []
     for item in items:
         if item in registry:
             out.append(str(registry[item]))
             continue
         try:
-            out.append(base64.b64decode(item, validate=True))
+            decoded = base64.b64decode(item, validate=True)
+            if len(decoded) < _MIN_B64_AUDIO_BYTES:
+                raise ValueError("too small to be audio")
         except Exception:
             known = ", ".join(sorted(registry)) or "none registered"
             raise ValueError(
                 f"voice '{item[:48]}' is neither a registered voice name "
                 f"nor valid base64 audio (registered voices: {known})"
             )
+        out.append(decoded)
     return out
 
 
@@ -96,7 +108,9 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
     except Exception as e:
         return _error(400, str(e))
     try:
-        speaker_files = _resolve_voices(body.voice, request.app[VOICES_KEY])
+        speaker_files = await asyncio.to_thread(
+            _resolve_voices, body.voice, request.app[VOICES_KEY]
+        )
     except ValueError as e:
         return _error(400, str(e))
     if body.stream_format is not None:
@@ -213,10 +227,15 @@ async def _stream_audio_speech(
                 chunk = None
         if sse:
             await send_event({"type": "speech.audio.done"})
-    except (ConnectionResetError, asyncio.CancelledError):
+    except ConnectionResetError:
         # client went away: the finally acloses the generator, which cancels
         # the in-flight decode work through the scheduler's cleanup
         pass
+    except asyncio.CancelledError:
+        # aiohttp cancelled us (disconnect): re-raise so structured
+        # cancellation bookkeeping (uncancel on 3.11+) stays intact — the
+        # finally still acloses the generator on the way out
+        raise
     except Exception as e:
         logger.error("Streaming speech failed mid-stream: %s", e)
         if sse:
@@ -239,8 +258,8 @@ async def handle_chat_completions(request: web.Request) -> web.StreamResponse:
     except Exception as e:
         return _error(400, str(e))
     try:
-        speaker_files = _resolve_voices(
-            body.speaker_files, request.app[VOICES_KEY]
+        speaker_files = await asyncio.to_thread(
+            _resolve_voices, body.speaker_files, request.app[VOICES_KEY]
         )
     except ValueError as e:
         return _error(400, str(e))

@@ -70,6 +70,10 @@ def test_hindi_grouping_ordinals_decimals():
         ("उसने 1,000 रुपये दिए", "उसने एक हज़ार रुपये दिए"),
         ("जनसंख्या 1,00,000 है", "जनसंख्या एक लाख है"),
         ("मूल्य 12,34,567 था", "मूल्य बारह लाख चौंतीस हज़ार पाँच सौ सड़सठ था"),
+        # Western 3-grouping >= 1M: the Indian rule must NOT partially match
+        # ('1,234' would otherwise become a bogus decimal '1234,567')
+        ("मूल्य 1,234,567 था", "मूल्य बारह लाख चौंतीस हज़ार पाँच सौ सड़सठ था"),
+        ("कुल 12,345,678 हुए", "कुल एक करोड़ तेईस लाख पैंतालीस हज़ार छह सौ अठहत्तर हुए"),
         ("पाई 3.14 है", "पाई तीन दशमलव एक चार है"),
         ("वह 1ला था", "वह पहला था"),
         ("वह 2रा था", "वह दूसरा था"),

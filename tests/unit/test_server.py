@@ -116,6 +116,18 @@ def test_audio_speech_invalid_base64(app):
     assert b"base64" in body
 
 
+def test_audio_speech_unregistered_voice_name(app):
+    """OpenAI-style voice names ('echo', 'nova') are valid base64 but decode
+    to a few garbage bytes: they must get the helpful 400 naming the
+    registry, not an opaque 500 deep in audio loading."""
+    import asyncio
+
+    payload = {"input": "x", "model": "m", "voice": ["echo"]}
+    resp, body = asyncio.run(_request(app, "post", "/v1/audio/speech", json=payload))
+    assert resp.status == 400
+    assert b"registered voice" in body
+
+
 def test_audio_speech_unsupported_format(app, voice_b64):
     import asyncio
 
