@@ -50,8 +50,8 @@ def read_wav(source: AudioSource) -> tuple[np.ndarray, int]:
         if head[:3] == b"ID3" or head[:2] in (b"\xff\xfb", b"\xff\xf3"):
             raise UnsupportedAudioFormat("MP3 decoding is not available in this build; provide WAV input")
         if head == b"fLaC":
-            # first-party C++ decoder (native/src/flac.cc); handles streams
-            # from our encoder (fixed-predictor subframes)
+            # first-party C++ decoder (native/src/flac.cc): full RFC 9639
+            # subframe coverage incl. LPC + stereo decorrelation
             from . import native_audio
 
             audio, sr = native_audio.flac_decode(data)
@@ -194,7 +194,20 @@ def load_audio(source: AudioSource, sampling_rate: int) -> np.ndarray:
     if data[:4] == b"fLaC":
         from . import native_audio
 
-        decoded, sr = native_audio.flac_decode(data)
+        try:
+            decoded, sr = native_audio.flac_decode(data)
+        except (ValueError, RuntimeError) as e:
+            # a first-party decode failure (corrupt stream, or the native
+            # lib missing) must never dead-end a file ffmpeg could handle
+            from . import ffmpeg_codec
+
+            if not ffmpeg_codec.available():
+                raise UnsupportedAudioFormat(
+                    f"FLAC decode failed ({e}) and no ffmpeg binary is on "
+                    "PATH to fall back to"
+                ) from e
+            mono, _ = ffmpeg_codec.decode(data, target_sample_rate=sampling_rate)
+            return np.clip(mono[None].astype(np.float32), -1.0, 1.0)
         audio = decoded.T if decoded.ndim == 2 else decoded[None]
     elif data[:4] == b"RIFF":
         audio, sr = read_wav(data)

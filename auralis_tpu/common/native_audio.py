@@ -126,8 +126,9 @@ def flac_encode(
 
 def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:
     """Decode a FLAC stream -> (float32 [T] or [T, C], sample_rate).
-    Supports constant/verbatim/fixed-predictor subframes (the encoder's
-    output); LPC streams from other encoders raise."""
+    Full RFC 9639 subframe coverage: constant/verbatim/fixed/LPC with
+    left/side, right/side and mid/side stereo decorrelation — libFLAC- and
+    ffmpeg-encoded files decode first-party."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native FLAC decoder unavailable")
@@ -142,7 +143,7 @@ def flac_decode(data: bytes) -> Tuple[np.ndarray, int]:
         ctypes.byref(sr),
     )
     if rc == -2:
-        raise ValueError("unsupported FLAC feature (LPC / stereo decorrelation)")
+        raise ValueError("unsupported FLAC feature")
     if rc != 0:
         raise ValueError(f"FLAC decode failed (code {rc})")
     try:

@@ -3,11 +3,14 @@
 // Encoder: fixed-blocksize stream, independent channels, per-channel choice
 // of constant / verbatim / fixed-predictor(0..4) subframes, Rice-coded
 // residuals (partition order 0, escape to raw when cheaper), MD5 signature.
-// Decoder: everything the encoder emits, plus generic partition orders and
-// both Rice methods; LPC and stereo-decorrelation subframes are rejected
-// with a clear error (-2) — this codec exists to give the framework a
-// first-party `flac` output format (reference gets it from ffmpeg,
-// common/definitions/output.py:119-187), not to play arbitrary files.
+// Decoder: full RFC 9639 subframe coverage — constant / verbatim / fixed /
+// LPC (orders 1..32, quantized coefficients) with left/side, right/side and
+// mid/side stereo decorrelation, generic Rice partition orders, both Rice
+// methods, and any STREAMINFO bit depth 4..32. libFLAC's default output is
+// LPC + stereo decorrelation, so real-world voice-reference files decode
+// first-party (the reference plays arbitrary files through
+// torchaudio/librosa, common/utilities.py:74-98); remaining failures fall
+// back to ffmpeg in audio_io.load_audio when a binary is on PATH.
 
 #include <cstdint>
 #include <cstdlib>
@@ -397,6 +400,98 @@ void write_subframe(BitWriter& bw, const int32_t* x, int64_t n, int bps,
   }
 }
 
+// Rice/escape-coded residual section shared by fixed and LPC subframes.
+// Fills x[order..bs); returns false on malformed input.
+bool read_residuals(BitReader& br, int64_t bs, int order, int64_t* x) {
+  int method = static_cast<int>(br.get(2));
+  if (method > 1) return false;
+  int pbits = method == 0 ? 4 : 5;
+  int esc = method == 0 ? 0xF : 0x1F;
+  int porder = static_cast<int>(br.get(4));
+  int64_t nparts = 1ll << porder;
+  if ((bs >> porder) << porder != bs || (bs >> porder) <= order) {
+    if (porder != 0) return false;  // partitions must divide the block
+  }
+  int64_t idx = order;
+  for (int64_t p = 0; p < nparts; ++p) {
+    int64_t cnt = (bs >> porder) - (p == 0 ? order : 0);
+    if (cnt < 0 || idx + cnt > bs) return false;
+    int k = static_cast<int>(br.get(pbits));
+    if (k == esc) {
+      int raw = static_cast<int>(br.get(5));
+      for (int64_t i = 0; i < cnt; ++i) x[idx++] = raw ? br.get_signed(raw) : 0;
+    } else {
+      for (int64_t i = 0; i < cnt; ++i) {
+        uint64_t q = br.get_unary();
+        uint64_t u = (q << k) | (k ? br.get(k) : 0);
+        x[idx++] = static_cast<int64_t>(u >> 1) ^ -static_cast<int64_t>(u & 1);
+      }
+    }
+    if (br.error) return false;
+  }
+  return true;
+}
+
+// One subframe of `sbits`-wide samples into x[0..bs). Returns 0 ok,
+// -1 malformed, -2 unsupported.
+int read_subframe(BitReader& br, int64_t bs, int sbits, int64_t* x) {
+  br.get(1);  // zero pad
+  int type = static_cast<int>(br.get(6));
+  int wasted = static_cast<int>(br.get(1));
+  int shift = 0;
+  if (wasted) {
+    shift = 1;
+    while (!br.error && br.get(1) == 0) ++shift;
+  }
+  int eff = sbits - shift;
+  if (eff <= 0 || br.error) return -1;
+  if (type == 0) {
+    int64_t v = br.get_signed(eff);
+    for (int64_t i = 0; i < bs; ++i) x[i] = v;
+  } else if (type == 1) {
+    for (int64_t i = 0; i < bs; ++i) x[i] = br.get_signed(eff);
+  } else if (type >= 8 && type <= 12) {
+    int order = type - 8;
+    if (order > bs) return -1;
+    for (int i = 0; i < order; ++i) x[i] = br.get_signed(eff);
+    if (!read_residuals(br, bs, order, x)) return -1;
+    if (order > 0) {
+      static const int coef[5][4] = {
+          {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
+      for (int64_t i = order; i < bs; ++i) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; ++j) pred += coef[order][j] * x[i - 1 - j];
+        x[i] += pred;
+      }
+    }
+  } else if (type & 0x20) {
+    // LPC, order 1..32 (RFC 9639 §9.2.5): warmup samples, quantized
+    // coefficient precision/shift, coefficients, then the shared residual
+    // coding; reconstruction is a right-shifted dot product
+    int order = (type & 0x1F) + 1;
+    if (order > bs) return -1;
+    for (int i = 0; i < order; ++i) x[i] = br.get_signed(eff);
+    int prec = static_cast<int>(br.get(4));
+    if (prec == 0xF) return -1;  // invalid per spec
+    prec += 1;
+    int qshift = static_cast<int>(br.get_signed(5));
+    if (qshift < 0) return -1;  // negative shift is spec-forbidden
+    int64_t qcoef[32];
+    for (int i = 0; i < order; ++i) qcoef[i] = br.get_signed(prec);
+    if (!read_residuals(br, bs, order, x)) return -1;
+    for (int64_t i = order; i < bs; ++i) {
+      int64_t pred = 0;
+      for (int j = 0; j < order; ++j) pred += qcoef[j] * x[i - 1 - j];
+      x[i] += pred >> qshift;
+    }
+  } else {
+    return -1;  // reserved subframe types
+  }
+  if (shift)
+    for (int64_t i = 0; i < bs; ++i) x[i] <<= shift;
+  return br.error ? -1 : 0;
+}
+
 int blocksize_code(int bs, int* follow_bits) {
   *follow_bits = 0;
   switch (bs) {
@@ -553,11 +648,11 @@ int at_flac_decode(const uint8_t* data, int64_t len, float** out,
     }
   }
   if (!have_streaminfo || br.error || ch < 1 || ch > 2) return -1;
-  if (bps != 16 && bps != 24) return -2;
+  if (bps < 4 || bps > 32) return -2;
 
   std::vector<float> pcm;
   if (total) pcm.reserve(static_cast<size_t>(total) * ch);
-  const double inv_scale = 1.0 / ((bps == 16) ? 32767.0 : 8388607.0);
+  const double inv_scale = 1.0 / static_cast<double>((1ll << (bps - 1)) - 1);
   std::vector<std::vector<int64_t>> chans(ch);
 
   static const int kBlocksizes[16] = {0,   192,  576,  1152, 2304, 4608, -8, -16,
@@ -571,7 +666,10 @@ int at_flac_decode(const uint8_t* data, int64_t len, float** out,
     int ch_code = static_cast<int>(br.get(4));
     int ss_code = static_cast<int>(br.get(3));
     br.get(1);  // reserved
-    if (ch_code > 7) return -2;  // stereo decorrelation unsupported
+    // 0..7 independent channels; 8 left/side, 9 right/side, 10 mid/side
+    if (ch_code > 10) return -2;
+    int nch = ch_code <= 7 ? ch_code + 1 : 2;
+    if (nch != ch) return -1;  // frame disagrees with STREAMINFO
     read_utf8_number(br);
     int64_t bs;
     if (bs_code == 6) bs = static_cast<int64_t>(br.get(8)) + 1;
@@ -595,61 +693,23 @@ int at_flac_decode(const uint8_t* data, int64_t len, float** out,
 
     for (int c = 0; c < ch; ++c) {
       chans[c].assign(bs, 0);
-      br.get(1);  // pad
-      int type = static_cast<int>(br.get(6));
-      int wasted = static_cast<int>(br.get(1));
-      int shift = 0;
-      if (wasted) {
-        shift = 1;
-        while (!br.error && br.get(1) == 0) ++shift;
+      // the side channel carries one extra bit (RFC 9639 §9.1.3)
+      bool is_side = (ch_code == 8 && c == 1) || (ch_code == 9 && c == 0) ||
+                     (ch_code == 10 && c == 1);
+      int rc = read_subframe(br, bs, fbps + (is_side ? 1 : 0), chans[c].data());
+      if (rc != 0) return rc;
+    }
+    if (ch_code == 8) {  // left/side: right = left - side
+      for (int64_t i = 0; i < bs; ++i) chans[1][i] = chans[0][i] - chans[1][i];
+    } else if (ch_code == 9) {  // side/right: left = right + side
+      for (int64_t i = 0; i < bs; ++i) chans[0][i] = chans[0][i] + chans[1][i];
+    } else if (ch_code == 10) {  // mid/side
+      for (int64_t i = 0; i < bs; ++i) {
+        int64_t side = chans[1][i];
+        int64_t mid = (chans[0][i] << 1) | (side & 1);
+        chans[0][i] = (mid + side) >> 1;
+        chans[1][i] = (mid - side) >> 1;
       }
-      int eff = fbps - shift;
-      if (type == 0) {
-        int64_t v = br.get_signed(eff);
-        for (int64_t i = 0; i < bs; ++i) chans[c][i] = v;
-      } else if (type == 1) {
-        for (int64_t i = 0; i < bs; ++i) chans[c][i] = br.get_signed(eff);
-      } else if (type >= 8 && type <= 12) {
-        int order = type - 8;
-        for (int i = 0; i < order; ++i) chans[c][i] = br.get_signed(eff);
-        int method = static_cast<int>(br.get(2));
-        if (method > 1) return -2;
-        int pbits = method == 0 ? 4 : 5;
-        int esc = method == 0 ? 0xF : 0x1F;
-        int porder = static_cast<int>(br.get(4));
-        int64_t nparts = 1ll << porder;
-        int64_t idx = order;
-        for (int64_t p = 0; p < nparts; ++p) {
-          int64_t cnt = (bs >> porder) - (p == 0 ? order : 0);
-          int k = static_cast<int>(br.get(pbits));
-          if (k == esc) {
-            int raw = static_cast<int>(br.get(5));
-            for (int64_t i = 0; i < cnt; ++i)
-              chans[c][idx++] = raw ? br.get_signed(raw) : 0;
-          } else {
-            for (int64_t i = 0; i < cnt; ++i) {
-              uint64_t q = br.get_unary();
-              uint64_t u = (q << k) | (k ? br.get(k) : 0);
-              chans[c][idx++] = static_cast<int64_t>(u >> 1) ^ -static_cast<int64_t>(u & 1);
-            }
-          }
-        }
-        // undo fixed prediction
-        if (order > 0) {
-          static const int coef[5][4] = {
-              {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1}};
-          for (int64_t i = order; i < bs; ++i) {
-            int64_t pred = 0;
-            for (int j = 0; j < order; ++j) pred += coef[order][j] * chans[c][i - 1 - j];
-            chans[c][i] += pred;
-          }
-        }
-      } else {
-        return -2;  // LPC unsupported
-      }
-      if (shift)
-        for (int64_t i = 0; i < bs; ++i) chans[c][i] <<= shift;
-      if (br.error) return -1;
     }
     br.align();
     br.get(16);  // frame CRC-16 (not verified)
