@@ -32,7 +32,8 @@ _STOPWORDS: dict[str, set[str]] = {
            "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta", "entre",
            "cuando", "muy", "sin", "sobre", "también", "me", "hasta", "hay",
            "donde", "quien", "desde", "todo", "nos", "durante", "todos", "uno",
-           "les", "ni", "contra", "otros", "ese", "eso", "ante", "ellos", "e"},
+           "les", "ni", "contra", "otros", "ese", "eso", "ante", "ellos", "e",
+           "a", "te", "tu", "mi", "qué", "cómo", "dónde"},
     "fr": {"le", "la", "de", "et", "les", "des", "est", "un", "une", "du", "que",
            "qui", "dans", "pour", "pas", "sur", "vous", "avec", "son", "ne", "se",
            "ce", "il", "elle", "au", "plus", "par", "mais", "nous", "je", "tout",
@@ -49,13 +50,17 @@ _STOPWORDS: dict[str, set[str]] = {
            "sono", "con", "si", "del", "le", "gli", "della", "ma", "come", "più",
            "anche", "lo", "questo", "ha", "hanno", "nel", "alla", "essere",
            "questa", "da", "su", "dei", "nella", "era", "delle", "suo", "sua",
-           "dalla", "sono", "tra", "stato", "quando", "cui", "dal", "ai", "loro"},
+           "dalla", "sono", "tra", "stato", "quando", "cui", "dal", "ai", "loro",
+           "a", "al", "uno", "tutti", "tutto", "dove", "dopo", "durante",
+           "senza", "molto", "ogni", "così", "già", "ci", "ne", "se", "chi"},
     "pt": {"o", "a", "de", "que", "e", "do", "da", "em", "um", "para", "é", "com",
            "não", "uma", "os", "no", "se", "na", "por", "mais", "as", "dos",
            "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu", "sua",
            "ou", "são", "quando", "muito", "há", "nos", "já", "está", "eu",
            "também", "só", "pelo", "pela", "até", "isso", "ela", "entre", "era",
-           "depois", "sem", "mesmo", "aos", "ter", "seus", "quem", "nas"},
+           "depois", "sem", "mesmo", "aos", "ter", "seus", "quem", "nas",
+           "você", "vocês", "pode", "esse", "essa", "meu", "minha", "onde",
+           "bom", "dia", "todos", "obrigado", "obrigada"},
     "pl": {"w", "i", "na", "z", "do", "to", "że", "się", "nie", "jest", "jak",
            "po", "co", "tak", "za", "od", "ale", "czy", "był", "ma", "przez",
            "być", "dla", "go", "tego", "tym", "już", "tylko", "może", "bardzo",
@@ -80,7 +85,8 @@ _STOPWORDS: dict[str, set[str]] = {
            "de", "ha", "már", "mint", "el", "még", "van", "aki", "ki", "te",
            "azt", "ezt", "vagy", "amely", "lesz", "nagy", "ő", "mert",
            "minden", "olyan", "ez", "így", "majd", "két", "őket", "neki",
-           "vele", "ami", "után", "most", "itt", "akkor", "nincs", "pedig"},
+           "vele", "ami", "után", "most", "itt", "akkor", "nincs", "pedig",
+           "hol", "mit", "hogyan", "miért", "kell"},
 }
 
 # Characters that (among the 11 Latin-script languages here) occur in exactly
@@ -90,7 +96,9 @@ _EXCLUSIVE_CHARS: dict[str, str] = {
     "de": "ß",
     "pt": "ãõ",
     "pl": "ąęłńśźż",
-    "cs": "ěřůťď",
+    # č/š/ž/ý are Czech-only among these 11 (Polish writes cz/sz/ż; Turkish
+    # writes ç/ş): near-decisive on short Czech text
+    "cs": "ěřůťďčšžý",
     "hu": "őű",
     "tr": "ğış",
 }
@@ -103,7 +111,7 @@ _DIACRITIC_HINTS: dict[str, str] = {
     "it": "àèìòù",
     "es": "áéíóú",
     "pl": "óć",
-    "cs": "čšžýáíé",
+    "cs": "áíé",
     "hu": "öüóéáí",
     "tr": "çöü",
 }
@@ -126,16 +134,18 @@ _TRIGRAMS: dict[str, tuple[str, ...]] = {
            "ten", "ben", " ge", "ung", "ite", "eit", "den"),
     "it": (" di", "di ", "re ", " la", "to ", " co", "no ", "che", " ch",
            "he ", "zio", "one", "ell", "lla", "are", "del", " de", "nte",
-           "ato", "ita", "gli", " gl", "ono", "ant", "ale"),
+           "ato", "ita", "gli", " gl", "ono", "ant", "ale", "tti", "tta",
+           "zza", "nza", " l'", "ggi", "egg", "cio", "chi", "ità", "uon"),
     "pt": (" de", "de ", "os ", "ão ", "ção", " co", "ar ", " es", "ra ",
            "da ", " da", "do ", " do", "ent", "nte", " pa", "ada", "que",
-           " qu", "ara", "ida", "dos", "ais", "õe", "em "),
+           " qu", "ara", "ida", "dos", "ais", "õe", "em ", "lh", "nh",
+           "eir", "ório", "ções"),
     "pl": ("ie ", "nie", " ni", "że ", " że", "ch ", "ych", "go ", "ego",
            " po", "owa", "em ", "prz", "rze", "się", " si", "ię ", "ać ",
            "ani", "ość", "ow", "dzi", "cz", "sz", " wy"),
     "nl": ("en ", "de ", " de", "et ", "het", " he", "van", " va", "an ",
            "een", " ee", "aar", "ijk", "ij ", "ver", "oor", " ge", "ing",
-           "cht", " ve", "den", "der", "sch", "elijk", "aat"),
+           "cht", " ve", "den", "der", "sch", "elijk", "aat", "oed", "aal"),
     "tr": ("lar", "ler", "ir ", "bir", " bi", "ın ", "da ", "mak", "mek",
            "yor", "iyo", "dır", "ığı", "ünü", "ara", "an ", "ını", "nda",
            "ndan", "inde", "sın", "şı", "ğı", "ün", "ük"),
@@ -144,7 +154,8 @@ _TRIGRAMS: dict[str, tuple[str, ...]] = {
            "ter", "ně ", "ck", "ře", "ěl", "ův", " vy"),
     "hu": (" az", "az ", "egy", " eg", "ek ", "nek", "tt ", "ett", "hog",
            "ogy", "gy ", "nak", "ban", "ben", "ele", "sze", " sz", "meg",
-           " me", "ség", "ás ", "és ", "ett", "len", "tet"),
+           " me", "ség", "ás ", "és ", "ett", "len", "tet", "gy", "kat ",
+           "ket ", "ól ", "kor "),
 }
 
 _word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
@@ -189,6 +200,10 @@ def _latin_score(lang: str, sample: str, words: list[str]) -> float:
     for ch in _DIACRITIC_HINTS.get(lang, ""):
         if ch in sample:
             score += 0.04
+    if lang == "es" and "?" in sample and "¿" not in sample:
+        # Spanish orthography opens questions with ¿ — its absence in a
+        # question is mild negative evidence (separates es from pt/it)
+        score -= 0.15
     return score
 
 
@@ -200,7 +215,10 @@ def detect_language(text: str) -> str:
     non_latin = {k: v for k, v in sc.items() if k != "latin" and v > 0}
     if non_latin:
         top = max(non_latin, key=non_latin.get)
-        if non_latin[top] >= max(3, sc["latin"] // 4):
+        # with zero Latin letters any script evidence decides ("你好");
+        # mixed text needs enough non-Latin mass to outweigh embedded
+        # Latin loanwords/numbers
+        if sc["latin"] == 0 or non_latin[top] >= max(3, sc["latin"] // 4):
             if top == "kana":
                 return "ja"
             if top == "han":
