@@ -138,15 +138,18 @@ class TTSRequest:
         ).hexdigest()
 
         def compute():
-            temp_dir = Path("/tmp/auralis_tpu")
-            temp_dir.mkdir(exist_ok=True)
-            src = audio_source if isinstance(audio_source, (str, Path)) else io.BytesIO(audio_source)
-            audio = audio_io.load_audio(src, audio_config.sample_rate)[0]
-            processed = self.processor.process(np.asarray(audio))
-            stem = Path(audio_source).stem if isinstance(audio_source, str) else cache_key[:8]
-            out_path = temp_dir / f"{stem}_{uuid.uuid4().hex}.wav"
-            audio_io.write_wav(out_path, processed, audio_config.sample_rate)
-            return str(out_path)
+            from .tracing import span
+
+            with span("request.enhance_miss"):
+                temp_dir = Path("/tmp/auralis_tpu")
+                temp_dir.mkdir(exist_ok=True)
+                src = audio_source if isinstance(audio_source, (str, Path)) else io.BytesIO(audio_source)
+                audio = audio_io.load_audio(src, audio_config.sample_rate)[0]
+                processed = self.processor.process(np.asarray(audio))
+                stem = Path(audio_source).stem if isinstance(audio_source, str) else cache_key[:8]
+                out_path = temp_dir / f"{stem}_{uuid.uuid4().hex}.wav"
+                audio_io.write_wav(out_path, processed, audio_config.sample_rate)
+                return str(out_path)
 
         try:
             return _enhance_cache.get_or(cache_key, compute)

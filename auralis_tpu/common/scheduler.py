@@ -18,6 +18,7 @@ from dataclasses import dataclass, field
 from typing import Any, AsyncGenerator, Awaitable, Callable, Dict, Optional
 
 from .logger import setup_logger
+from .tracing import record
 
 logger = setup_logger("scheduler")
 
@@ -115,7 +116,13 @@ class TwoPhaseScheduler:
             # --decode_slots); the phase-2 INACTIVITY timeout (restarted per
             # output) already prevents a stalled consumer from holding its
             # slot forever.
+            t_admit = time.perf_counter()
             async with self._request_sem:
+                # admission wait: how long the request queued behind the
+                # `second_phase_concurrency` in-flight requests — the
+                # dominant term when the server is provisioned below the
+                # engine's slot capacity (bench server-load attribution)
+                record("sched.admission_wait", time.perf_counter() - t_admit)
                 request.state = TaskState.PROCESSING_FIRST
                 try:
                     first = await asyncio.wait_for(

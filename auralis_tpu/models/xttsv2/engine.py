@@ -346,20 +346,24 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             # never mutate the caller's config: it may be shared across
             # engine instances/replicas or inspected after construction
             gpt_config = dataclasses.replace(gpt_config, kv_int8=kv_int8)
-        # int8 decode weights (W8A8) are OPT-IN, not a default: measured on
-        # v5e the step is KV-bandwidth-dominated and the bf16 weight stream
-        # already rides near roofline, so halving it buys only ~4%
-        # (8.56 -> 8.21 ms/step at 64 slots / bound 1024,
-        # tools/bench_prod_step.py) while latent SNR drops 45.9 -> 39.5 dB
-        # (test_w8a8.py vs test_kv_int8.py). Below the default bar. Note the
-        # int8 copy is IN ADDITION to the bf16 blocks (prefill reads those),
-        # so total weight residency grows ~50% — the knob trades HBM for the
-        # ~4% step-bandwidth win, not the reverse. Deletion was considered
-        # (judge r2): kept deliberately — it is the only path that relieves
-        # the step's WEIGHT stream, which becomes the bottleneck the moment
-        # KV traffic shrinks (short utterances at low slot counts, or a
-        # future sub-int8 KV), and its cost is isolated behind this flag +
-        # one quantize helper with its own SNR test.
+        # int8 decode weights (W8A8): default AUTO on single-chip TPU —
+        # chosen PER DECODE PROGRAM by a bandwidth policy, not globally.
+        # Measured on v5e (BENCH_NOTES r4, tools/bench_prod_step.py,
+        # int8+unroll vs int8+w8a8+unroll): halving the weight stream wins
+        # -23% ms/step at slots=8/bound=256, -20% at s16/b256, -16% at
+        # s16/b512, -9% at s64/b256 and s32/b1024 — every cell where the
+        # weight stream is a material fraction of the KV read — but LOSES
+        # ~5% at s64/b1024 where KV dominates and the per-row activation
+        # quantize is pure overhead. slot_bucketing steers serving exactly
+        # into the winning small-shape region, so the policy (w8a8 when
+        # KV bytes < 3x weight bytes; crossover fitted from the matrix)
+        # arms it for the narrow/short programs and leaves the saturated
+        # long-bound program bf16. Latent SNR under w8a8 is 39.5 dB
+        # (test_w8a8.py) vs 45.9 dB int8-KV-only — both far above
+        # audibility. Costs: the int8 copy lives NEXT TO the bf16 blocks
+        # (prefill reads those), ~+50% weight residency (~0.36 GiB),
+        # counted by the HBM slot-fit. decode_w8a8=True forces it for
+        # every program (the pre-r4 global behavior); False disables.
         if (decode_w8a8 or gpt_config.decode_w8a8) and tensor_parallel_size > 1:
             # blocks_q8 has no sharding specs (it would replicate on every
             # device) and the per-row activation quantize reduces over the
@@ -371,6 +375,15 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 "quantization forces per-layer collectives); disabling."
             )
             decode_w8a8 = False
+        if decode_w8a8 is None and not gpt_config.decode_w8a8:
+            self._w8a8_auto = (
+                jax.default_backend() == "tpu"
+                and tensor_parallel_size == 1
+                and not gpt_config.flash_decode
+                and not gpt_config.ragged_decode
+            )
+        else:
+            self._w8a8_auto = False
         if decode_w8a8 is not None and decode_w8a8 != gpt_config.decode_w8a8:
             gpt_config = dataclasses.replace(gpt_config, decode_w8a8=decode_w8a8)
         self.gpt_config = gpt_config
@@ -415,7 +428,9 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self.mel_eos_token_id = gpt_config.stop_audio_token
 
         self.params = params  # GPT pytree (incl. text embeddings + heads)
-        if self.gpt_config.decode_w8a8 and "blocks_q8" not in params:
+        if (
+            self.gpt_config.decode_w8a8 or self._w8a8_auto
+        ) and "blocks_q8" not in params:
             from .gpt import quantize_decode_weights
 
             # one fused program; decode programs read only blocks_q8's int8
@@ -468,6 +483,22 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             and stream_block_steps < self.gpt_config.max_audio_tokens
         ):
             stream_block_steps += 1
+        w8a8_policy = None
+        if self._w8a8_auto:
+            # fitted from the r4 on-chip matrix: w8a8 wins while the weight
+            # stream is >= ~1/3 of the block's KV read, loses past that
+            # (s64/b1024: KV 4.0 GiB vs 0.36 GiB saved -> -5%)
+            d, nl = gpt_config.hidden_size, gpt_config.num_hidden_layers
+            kv_elem = 1 if gpt_config.kv_int8 else jnp.dtype(cache_dtype).itemsize
+            w_bytes = sum(
+                int(np.prod(v.shape)) * v.dtype.itemsize
+                for v in jax.tree.leaves(self.params["blocks"])
+            )
+
+            def w8a8_policy(len_bound: int, slot_bound: int) -> bool:
+                kv_bytes = slot_bound * len_bound * 2 * d * nl * kv_elem
+                return kv_bytes < 3 * w_bytes
+
         self.decode_engine = DecodeEngine(
             self.params,
             gpt_config,
@@ -479,6 +510,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             device_latents=True,  # vocoder reads latents straight from HBM
             slot_bucketing=slot_bucketing,
             mesh=self.mesh,
+            w8a8_policy=w8a8_policy,
         )
         if self.mesh is not None:
             # conditioning + vocoder pytrees replicate onto the mesh so their
@@ -840,8 +872,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             # a real LRU (plain check-and-return was FIFO — a continuously
             # served voice could be the first evicted)
             self._cond_cache[cache_key] = hit
+            trace_record("phase1.cond_cache_hit", 0.0)
             return hit
 
+        t_cond = time.perf_counter()
         speaker_embs, audios = [], []
         for ref in refs:
             def _load(r=ref):
@@ -872,6 +906,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self.get_gpt_cond_latents, full_audio, gpt_cond_len, gpt_cond_chunk_len
         )
         speaker = np.mean(np.stack(speaker_embs), axis=0)  # [1, 512]
+        trace_record("phase1.cond_miss", time.perf_counter() - t_cond)
         while len(self._cond_cache) >= self.conditioning_cache_size:
             self._cond_cache.pop(next(iter(self._cond_cache)))
         self._cond_cache[cache_key] = (gpt_cond, speaker)
@@ -935,7 +970,10 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 load_sr=request.load_sample_rate,
             )
 
-        token_chunks = self.tokenizer.encode_with_split(request.text, request.language)
+        with span("phase1.tokenize"):
+            token_chunks = self.tokenizer.encode_with_split(
+                request.text, request.language
+            )
         if not token_chunks:
             # surface a clear, early error instead of the downstream
             # empty-concatenate crash (the reference fails the same ugly way
@@ -1393,7 +1431,8 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         sr = self.hifi_config.output_sample_rate
 
         if queue is None:
-            tokens, latents, n = await future
+            with span("phase2.decode_wait"):
+                tokens, latents, n = await future
             if n == 0:
                 return
             with span("phase2.vocode"):

@@ -30,6 +30,7 @@ from aiohttp import ClientSession, ClientTimeout, web
 
 from ..common import audio_io
 from ..common.logger import setup_logger
+from ..common.tracing import record as trace_record
 from ..core.tts import TTS
 from .openai_schemas import AudioSpeechGenerationRequest, VoiceChatCompletionRequest
 
@@ -118,7 +119,9 @@ async def handle_audio_speech(request: web.Request) -> web.Response:
     try:
         # __post_init__ may run reference enhancement (decode + numpy DSP):
         # keep it off the serving loop
+        t0 = time.perf_counter()
         tts_request = await asyncio.to_thread(body.to_tts_request, speaker_files)
+        trace_record("server.build_request", time.perf_counter() - t0)
         output = await tts.generate_speech_async(tts_request)
         if body.speed != 1.0:
             output = output.change_speed(body.speed)

@@ -160,6 +160,75 @@ def test_decode_loop_runs_w8a8_end_to_end():
     assert done[0] and n[0] >= 1
 
 
+def test_per_program_w8a8_policy_picks_cfg_variant():
+    """DecodeEngine with a w8a8_policy selects the quantized config for
+    exactly the (len_bound, slot_bound) cells the policy approves — each
+    decode executable keys on the static cfg, so the serving default
+    (weight-bound small shapes quantized, KV-bound full shapes bf16) costs
+    no extra programs."""
+    from auralis_tpu.runtime.engine_core import DecodeEngine
+
+    cfg = _cfg(False, kv_int8=False)
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = dict(params)
+    params["blocks_q8"] = quantize_decode_weights(params["blocks"])
+    de = DecodeEngine(
+        params, cfg, num_slots=4,
+        w8a8_policy=lambda lb, sb: lb <= 32 or sb <= 2,
+    )
+    assert de._cfg_for(32, 4).decode_w8a8 is True
+    assert de._cfg_for(64, 2).decode_w8a8 is True
+    assert de._cfg_for(64, 4).decode_w8a8 is False
+    # None normalizes to full extents
+    assert de._cfg_for(None, None).decode_w8a8 is (
+        cfg.max_seq_len <= 32
+    )
+    # without blocks_q8 the policy is disarmed regardless
+    de2 = DecodeEngine(
+        init_gpt_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32),
+        cfg, num_slots=4, w8a8_policy=lambda lb, sb: True,
+    )
+    assert de2._cfg_for(16, 2).decode_w8a8 is False
+
+
+def test_policy_engine_generates_same_as_forced_w8a8():
+    """A policy that always approves must produce the same greedy tokens as
+    the global decode_w8a8=True config (the per-program path changes WHICH
+    executable runs, never the math inside it)."""
+    import asyncio
+
+    from auralis_tpu.runtime.engine_core import DecodeEngine, SamplingOptions
+
+    cfg = _cfg(True, kv_int8=False)
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params = dict(params)
+    params["blocks_q8"] = quantize_decode_weights(params["blocks"])
+    embeds = np.asarray(
+        0.3 * np.random.default_rng(0).standard_normal((12, cfg.hidden_size)),
+        np.float32,
+    )
+    opts = SamplingOptions(do_sample=False)
+
+    async def run(de):
+        try:
+            tokens, _latents = await de.generate(embeds, opts)
+            return list(np.asarray(tokens))
+        finally:
+            await de.shutdown()
+
+    forced = asyncio.run(run(DecodeEngine(params, cfg, num_slots=2)))
+    base_cfg = _cfg(False, kv_int8=False)
+    policy = asyncio.run(
+        run(
+            DecodeEngine(
+                params, base_cfg, num_slots=2,
+                w8a8_policy=lambda lb, sb: True,
+            )
+        )
+    )
+    assert forced == policy, (forced, policy)
+
+
 def test_engine_builds_quantized_weights_when_flagged():
     """XTTSv2Engine.random_init(decode_w8a8=True) adds blocks_q8 and flips
     the config copy, leaving the caller's config untouched."""
