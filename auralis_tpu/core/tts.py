@@ -323,14 +323,21 @@ class TTS:
             return streaming_wrapper()
         return self.loop.run_until_complete(self._process_multiple_requests(requests))
 
-    def warmup(self, text: Optional[str] = None) -> None:
+    def warmup(self, text: Optional[str] = None, precompile: bool = True) -> None:
         """Compile every serving program with synthetic inputs.
 
         All device programs have bounded shape sets (prefill buckets, decode
         block sizes x length buckets, fixed vocoder batches, 1s-quantized
         conditioning), so one warmup pass makes serving fully hot; without
         it the first requests pay multi-second XLA compiles. The reference
-        needs no analogue (eager torch), which is why it has no such API."""
+        needs no analogue (eager torch), which is why it has no such API.
+
+        `precompile=False` (development boots / --no_precompile) skips the
+        AOT program sets (decode slot/length matrix, insert matrix, vocoder
+        buckets) and runs only the traffic pass: boot gets much cheaper, but
+        the first production traffic that forms an unwarmed shape pays a
+        lazy compile mid-serving (~90 s on remote-compile rigs). Cold/warm
+        wall times are published in docs/advanced/performance.md."""
         import tempfile
 
         import numpy as np
@@ -370,23 +377,26 @@ class TTS:
             async for _ in agen:
                 pass
 
-        # vocoder buckets FIRST: the warmup requests only hit the buckets
-        # their chunk lengths land in, and compiles dispatched AFTER the
-        # requests would leave queued device work that bleeds into the
-        # first production traffic (precompile_vocoder_buckets drains
-        # itself before returning)
-        precompile = getattr(self.tts_engine, "precompile_vocoder_buckets", None)
-        if precompile is not None:
-            precompile()
-        # decode-block executables likewise: with slot bucketing on, the
-        # narrow slot-bound programs (and migrate_slot) would otherwise
-        # compile lazily at the first drain — mid-serving. Engine-level
-        # method so ReplicatedTTSEngine forwards it to every replica.
-        precompile_decode = getattr(
-            self.tts_engine, "precompile_decode_programs", None
-        )
-        if precompile_decode is not None:
-            precompile_decode()
+        if precompile:
+            # vocoder buckets FIRST: the warmup requests only hit the buckets
+            # their chunk lengths land in, and compiles dispatched AFTER the
+            # requests would leave queued device work that bleeds into the
+            # first production traffic (precompile_vocoder_buckets drains
+            # itself before returning)
+            precompile_vocoder = getattr(
+                self.tts_engine, "precompile_vocoder_buckets", None
+            )
+            if precompile_vocoder is not None:
+                precompile_vocoder()
+            # decode-block executables likewise: with slot bucketing on, the
+            # narrow slot-bound programs (and migrate_slot) would otherwise
+            # compile lazily at the first drain — mid-serving. Engine-level
+            # method so ReplicatedTTSEngine forwards it to every replica.
+            precompile_decode = getattr(
+                self.tts_engine, "precompile_decode_programs", None
+            )
+            if precompile_decode is not None:
+                precompile_decode()
         try:
             self.loop.run_until_complete(_run())
         finally:

@@ -483,6 +483,14 @@ def main(argv: Optional[list] = None) -> None:
              "(one-time boot cost; first requests are otherwise slow)",
     )
     parser.add_argument(
+        "--no_precompile", action="store_true",
+        help="with --warmup: run only the traffic warmup pass, skipping the "
+             "AOT program sets (decode slot/length matrix, insert matrix, "
+             "vocoder buckets) — much faster development boots, but unwarmed "
+             "shapes compile lazily mid-serving (~90 s each on "
+             "remote-compile rigs). Never use in production",
+    )
+    parser.add_argument(
         "--decode_slots", type=int, default=None,
         help="concurrent decode sequences per chip (default 2x concurrency; "
              "clamped to the chip's HBM budget at boot)",
@@ -527,9 +535,14 @@ def main(argv: Optional[list] = None) -> None:
         logger.info("Registered %d named voices: %s", len(voices), ", ".join(sorted(voices)))
     tts = start_tts_engine(args)
     if args.warmup:
-        logger.info("Warming up (compiling all serving programs)…")
-        tts.warmup()
-        logger.info("Warmup complete")
+        t0 = time.perf_counter()
+        logger.info(
+            "Warming up (%s)…",
+            "traffic pass only, --no_precompile" if args.no_precompile
+            else "compiling all serving programs",
+        )
+        tts.warmup(precompile=not args.no_precompile)
+        logger.info("Warmup complete in %.1f s", time.perf_counter() - t0)
     else:
         logger.warning(
             "Serving WITHOUT --warmup: every decode/insert/vocoder program "

@@ -187,3 +187,33 @@ def test_precompile_inserts_warms_meshed_programs(model):
         "insert program XLA-compiled mid-serving: precompiled cond "
         f"sharding != serving's ({len(compiled_inserts)} events)"
     )
+
+
+def test_warmup_no_precompile_skips_aot_sets():
+    """TTS.warmup(precompile=False) (--no_precompile development boots) runs
+    only the traffic pass: the AOT program sets must not be invoked."""
+    from helpers import build_tiny_engine
+
+    from auralis_tpu import TTS
+
+    engine = build_tiny_engine(max_concurrency=2)
+    calls = {"vocoder": 0, "decode": 0}
+    engine.precompile_vocoder_buckets = lambda *a, **k: calls.__setitem__(
+        "vocoder", calls["vocoder"] + 1
+    )
+    engine.precompile_decode_programs = lambda *a, **k: calls.__setitem__(
+        "decode", calls["decode"] + 1
+    )
+    tts = TTS(scheduler_max_concurrency=2).with_engine(engine)
+    try:
+        tts.warmup(
+            text="hello[SPACE]world this is a warmup test of speech. " * 3,
+            precompile=False,
+        )
+        assert calls == {"vocoder": 0, "decode": 0}
+        tts.warmup(
+            text="hello[SPACE]world this is a warmup test of speech. " * 3,
+        )
+        assert calls == {"vocoder": 1, "decode": 1}
+    finally:
+        tts.loop.run_until_complete(tts.shutdown())
