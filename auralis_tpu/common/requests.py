@@ -104,6 +104,11 @@ class TTSRequest:
     repetition_penalty: float = 5.0
     length_penalty: float = 1.0
     do_sample: bool = True
+    # Optional per-chunk cap on generated mel tokens (None = the model's
+    # max_audio_tokens, 605). The reference hardcodes its per-chunk cap
+    # (XTTSv2.py:744) but its vLLM backend exposes max_tokens — this is
+    # that knob surfaced on the request
+    max_new_tokens: Optional[int] = None
 
     def __post_init__(self):
         self.infer_language()
@@ -185,6 +190,7 @@ class TTSRequest:
             repetition_penalty=self.repetition_penalty,
             length_penalty=self.length_penalty,
             do_sample=self.do_sample,
+            max_new_tokens=self.max_new_tokens,
         )
         new.enhance_speech = self.enhance_speech
         # a prepared voice (prepare_for_streaming_generation) must survive

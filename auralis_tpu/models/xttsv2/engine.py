@@ -988,6 +988,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             top_k=request.top_k,
             repetition_penalty=request.repetition_penalty,
             do_sample=request.do_sample,
+            max_new_tokens=int(request.max_new_tokens or 0),
         )
         handles, request_ids = [], []
         cond_dev = self._cond_device(gpt_cond_latent)

@@ -162,6 +162,7 @@ def decode_state_specs(dcn: bool = False) -> dict:
             "top_k": P(dp),
             "repetition_penalty": P(dp),
             "do_sample": P(dp),
+            "max_new": P(dp),
             "seen": P(dp, None),
         },
         "seq_lens": P(dp),

@@ -118,7 +118,14 @@ def _record_and_advance(
 
     n_generated = state.n_generated + was_active.astype(jnp.int32)
     hit_eos = was_active & (new_tokens == cfg.stop_audio_token)
-    hit_max = was_active & (n_generated >= cfg.max_audio_tokens)
+    # per-slot cap (sampling.max_new, 0 = disabled) composes with the model
+    # cap — the per-request max_new_tokens API (vLLM max_tokens parity)
+    limit = jnp.where(
+        sampling.max_new > 0,
+        jnp.minimum(sampling.max_new, cfg.max_audio_tokens),
+        cfg.max_audio_tokens,
+    )
+    hit_max = was_active & (n_generated >= limit)
     newly_done = hit_eos | hit_max
 
     return DecodeState(
@@ -172,6 +179,7 @@ def _insert_body(
     top_k: jax.Array,
     repetition_penalty: jax.Array,
     do_sample: jax.Array,
+    max_new: jax.Array = 0,
 ) -> DecodeState:
     """Prefill a prompt into `slot`, sample its first token, mark it active."""
     s = state.seq_lens.shape[0]
@@ -188,6 +196,7 @@ def _insert_body(
             onehot, repetition_penalty, state.sampling.repetition_penalty
         ),
         do_sample=jnp.where(onehot, do_sample, state.sampling.do_sample),
+        max_new=jnp.where(onehot, max_new, state.sampling.max_new),
         seen=jnp.where(
             onehot[:, None], _prompt_seen_row(cfg)[None, :], state.sampling.seen
         ),
@@ -238,6 +247,7 @@ def insert_sequence_tokens(
     top_k: jax.Array,
     repetition_penalty: jax.Array,
     do_sample: jax.Array,
+    max_new: jax.Array = 0,
 ) -> DecodeState:
     """Transfer-thin insert: assemble the prompt IN-GRAPH from device-cached
     conditioning + uploaded token ids (~2 KB), then prefill. Identical result
@@ -248,7 +258,7 @@ def insert_sequence_tokens(
     length = cond.shape[0] + n_ids + 1
     return _insert_body(
         params, cfg, state, embeds, length, slot,
-        temperature, top_p, top_k, repetition_penalty, do_sample,
+        temperature, top_p, top_k, repetition_penalty, do_sample, max_new,
     )
 
 
@@ -264,6 +274,7 @@ def _insert_batch_body(
     top_k: jax.Array,  # [K]
     repetition_penalty: jax.Array,  # [K]
     do_sample: jax.Array,  # [K]
+    max_new: jax.Array = 0,  # [K] i32 (0 = config cap)
 ) -> DecodeState:
     """Burst insert: prefill K prompts in ONE program (weights stream from
     HBM once, not K times — see gpt_prefill_batched) and activate all K
@@ -290,6 +301,7 @@ def _insert_batch_body(
             repetition_penalty, mode="drop"
         ),
         do_sample=state.sampling.do_sample.at[slots].set(do_sample, mode="drop"),
+        max_new=state.sampling.max_new.at[slots].set(max_new, mode="drop"),
         seen=jnp.where(
             khot[:, None], _prompt_seen_row(cfg)[None, :], state.sampling.seen
         ),
@@ -344,6 +356,7 @@ def insert_sequences_tokens(
     top_k: jax.Array,
     repetition_penalty: jax.Array,
     do_sample: jax.Array,
+    max_new: jax.Array = 0,
 ) -> DecodeState:
     """Transfer-thin burst insert: per-lane in-graph prompt assembly (the
     cond latents are usually the SAME device buffer broadcast across lanes —
@@ -359,7 +372,7 @@ def insert_sequences_tokens(
     lengths = jnp.where(slots < state.seq_lens.shape[0], lengths, 0)
     return _insert_batch_body(
         params, cfg, state, embeds, lengths, slots,
-        temperature, top_p, top_k, repetition_penalty, do_sample,
+        temperature, top_p, top_k, repetition_penalty, do_sample, max_new,
     )
 
 

@@ -68,6 +68,10 @@ class SamplingOptions:
     top_k: int = 50
     repetition_penalty: float = 5.0
     do_sample: bool = True
+    # per-request new-token cap; 0 = the model's max_audio_tokens. The
+    # reference hardcodes its per-chunk cap but vLLM exposes max_tokens —
+    # this is that knob, per slot
+    max_new_tokens: int = 0
 
 
 @dataclass
@@ -564,7 +568,7 @@ class DecodeEngine:
                 self.params, self.cfg, self.state,
                 cond, jnp.zeros((tb,), jnp.int32), jnp.int32(1), jnp.int32(0),
                 jnp.float32(1.0), jnp.float32(1.0), jnp.int32(1),
-                jnp.float32(1.0), jnp.bool_(False),
+                jnp.float32(1.0), jnp.bool_(False), jnp.int32(0),
             )
             mask = np.zeros((self.num_slots,), bool)
             mask[0] = True
@@ -585,6 +589,7 @@ class DecodeEngine:
                     jnp.ones((k,), jnp.int32),
                     jnp.ones((k,), jnp.float32),
                     jnp.zeros((k,), bool),
+                    jnp.zeros((k,), jnp.int32),
                 )
                 n += 1
         rng = jnp.asarray(rng_before)
@@ -631,7 +636,7 @@ class DecodeEngine:
                 cond, jnp.asarray(ids_pad), jnp.int32(n_ids), jnp.int32(slot),
                 jnp.float32(opts.temperature), jnp.float32(opts.top_p),
                 jnp.int32(opts.top_k), jnp.float32(opts.repetition_penalty),
-                jnp.bool_(opts.do_sample),
+                jnp.bool_(opts.do_sample), jnp.int32(opts.max_new_tokens),
             )
             self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
             self.stats["inserts"] += 1
@@ -664,6 +669,7 @@ class DecodeEngine:
             jnp.int32(opts.top_k),
             jnp.float32(opts.repetition_penalty),
             jnp.bool_(opts.do_sample),
+            jnp.int32(opts.max_new_tokens),
         )
         self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
         self.stats["inserts"] += 1
@@ -715,6 +721,7 @@ class DecodeEngine:
                 jnp.asarray(vec(lambda o: o.top_k, 1), jnp.int32),
                 jnp.asarray(vec(lambda o: o.repetition_penalty, 1.0), jnp.float32),
                 jnp.asarray(vec(lambda o: o.do_sample, False), bool),
+                jnp.asarray(vec(lambda o: o.max_new_tokens, 0), jnp.int32),
             )
             self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
             self.stats["inserts"] += len(pairs)
@@ -757,6 +764,7 @@ class DecodeEngine:
             jnp.asarray(vec(lambda o: o.top_k, 1), jnp.int32),
             jnp.asarray(vec(lambda o: o.repetition_penalty, 1.0), jnp.float32),
             jnp.asarray(vec(lambda o: o.do_sample, False), bool),
+            jnp.asarray(vec(lambda o: o.max_new_tokens, 0), jnp.int32),
         )
         self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
         self.stats["inserts"] += len(pairs)

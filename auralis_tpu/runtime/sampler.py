@@ -25,6 +25,10 @@ class SamplingState(NamedTuple):
     top_k: jax.Array  # [S] i32 (0 => disabled)
     repetition_penalty: jax.Array  # [S] f32
     do_sample: jax.Array  # [S] bool
+    # per-slot new-token cap (0 => config max_audio_tokens). The reference
+    # hardcodes 605 per chunk but its vLLM backend exposes max_tokens per
+    # request; this is the per-slot equivalent
+    max_new: jax.Array  # [S] i32
     seen: jax.Array  # [S, V] bool
 
 
@@ -36,6 +40,7 @@ def init_sampling_state(num_slots: int, vocab_size: int) -> SamplingState:
         top_k=jnp.full((s,), 50, jnp.int32),
         repetition_penalty=jnp.full((s,), 5.0, jnp.float32),
         do_sample=jnp.ones((s,), bool),
+        max_new=jnp.zeros((s,), jnp.int32),
         seen=jnp.zeros((s, vocab_size), bool),
     )
 

@@ -33,6 +33,11 @@ class _TTSParamsMixin(BaseModel):
     repetition_penalty: float = Field(default=_tts_defaults["repetition_penalty"])
     length_penalty: float = Field(default=_tts_defaults["length_penalty"])
     do_sample: bool = Field(default=_tts_defaults["do_sample"])
+    max_new_tokens: Optional[int] = Field(
+        default=None, ge=1,
+        description="Per-chunk cap on generated mel tokens (~86 ms of audio "
+        "each); default = the model's max (605)",
+    )
 
     def _tts_kwargs(self) -> Dict[str, Any]:
         return dict(
@@ -47,6 +52,7 @@ class _TTSParamsMixin(BaseModel):
             repetition_penalty=self.repetition_penalty,
             length_penalty=self.length_penalty,
             do_sample=self.do_sample,
+            max_new_tokens=self.max_new_tokens,
         )
 
 

@@ -237,3 +237,63 @@ def test_unroll_layers_matches_fori():
         outs[unroll] = (np.asarray(h), np.asarray(logits), np.asarray(latent))
     for a, b in zip(outs[False], outs[True]):
         np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_max_new_tokens_caps_generation():
+    """Per-request max_new_tokens (vLLM max_tokens parity; the reference
+    hardcodes its per-chunk cap): a capped slot stops at exactly the cap
+    while an uncapped one runs longer, and the capped prefix is identical
+    under greedy decoding."""
+    import asyncio
+
+    from auralis_tpu.runtime.engine_core import DecodeEngine, SamplingOptions
+
+    cfg = tiny_test_config().gpt
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    embeds = np.asarray(
+        0.3 * np.random.default_rng(5).standard_normal((10, cfg.hidden_size)),
+        np.float32,
+    )
+
+    async def run(max_new):
+        de = DecodeEngine(params, cfg, num_slots=2)
+        try:
+            tokens, _ = await de.generate(
+                embeds, SamplingOptions(do_sample=False, max_new_tokens=max_new)
+            )
+            return list(np.asarray(tokens))
+        finally:
+            await de.shutdown()
+
+    free = asyncio.run(run(0))
+    capped = asyncio.run(run(4))
+    assert len(capped) == 4 <= len(free)
+    assert free[:4] == capped
+
+
+def test_max_new_tokens_through_public_api():
+    """TTSRequest.max_new_tokens flows through phase 1 into the decode
+    runtime: capped audio is shorter than uncapped for the same text."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent))
+    from helpers import build_tiny_engine, sine_wav
+
+    from auralis_tpu import TTS, TTSRequest
+
+    import tempfile
+
+    voice = sine_wav(_Path(tempfile.mkdtemp()) / "v.wav")
+    engine = build_tiny_engine(max_concurrency=2)
+    tts = TTS(scheduler_max_concurrency=2).with_engine(engine)
+    try:
+        kw = dict(
+            text="hello world this is a capping test.",
+            speaker_files=[voice], language="en", do_sample=False,
+        )
+        capped = tts.generate_speech(TTSRequest(**kw, max_new_tokens=6))
+        free = tts.generate_speech(TTSRequest(**kw))
+        assert len(capped.array) < len(free.array)
+    finally:
+        tts.loop.run_until_complete(tts.shutdown())

@@ -174,6 +174,7 @@ def test_precompile_inserts_warms_meshed_programs(model):
             jnp.ones((k,), jnp.int32),
             jnp.ones((k,), jnp.float32),
             jnp.zeros((k,), bool),
+            jnp.zeros((k,), jnp.int32),
         )
     finally:
         jax.config.update("jax_log_compiles", prev)

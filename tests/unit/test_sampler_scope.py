@@ -62,7 +62,8 @@ def test_scope_seeding_demotes_token_1_at_step_0():
         state = SamplingState(
             temperature=jnp.asarray([0.75]), top_p=jnp.asarray([1.0]),
             top_k=jnp.asarray([0]), repetition_penalty=jnp.asarray([5.0]),
-            do_sample=jnp.asarray([False]), seen=seen_row[None, :],
+            do_sample=jnp.asarray([False]), max_new=jnp.asarray([0]),
+            seen=seen_row[None, :],
         )
         toks, _ = sample_tokens(logits, state, jax.random.PRNGKey(0))
         return int(toks[0])

@@ -1,0 +1,203 @@
+"""Bisect where the bucket-128 prefill's time goes (judge r3 weak #2: 4.74 ms
+measured vs ~1.1 ms weight-stream floor — the TTFA-critical program).
+
+Times a ladder of progressively smaller programs, all jitted with donated
+caches, so each rung isolates one cost layer:
+
+  full      insert_sequence_tokens (prompt assembly + prefill + sampler +
+            state scatters) — the production program
+  prefill   gpt_prefill alone (attention + matmuls + KV cache writes)
+  nokv      gpt_prefill with cache writes disabled (matmuls + attention)
+  mlponly   the 30-layer matmul chain only (no attention, no cache)
+  empty     a trivial jitted add on the donated state — pure dispatch +
+            sync floor for this rig (tunnel RTT shows up here)
+
+Prints ms per rung (pipelined over --n dispatches, device_get-drained) and
+the implied attribution. Also A/Bs int8 (w8a8) prefill weights on the
+matmul chain to bound the bandwidth win available.
+
+Usage: python tools/bisect_prefill.py [--bucket 128] [--slots 64] [--n 20]
+"""
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from auralis_tpu.common.compile_cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from auralis_tpu.models.xttsv2.config import XTTSGPTConfig
+from auralis_tpu.models.xttsv2.gpt import (
+    KVCache,
+    _block_params,
+    _dot,
+    gpt_prefill,
+    init_gpt_params,
+    layer_norm,
+    make_kv_cache,
+    quantize_decode_weights,
+)
+from auralis_tpu.runtime.decode_loop import init_decode_state, insert_sequence_tokens
+from auralis_tpu.runtime.engine_core import prefill_bucket  # noqa: F401
+
+
+def drain(x):
+    leaf = jax.tree.leaves(x)[0]
+    return np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def timeit(fn, make_args, n=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*make_args())
+    drain(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*make_args())
+    drain(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bucket", type=int, default=128)
+    ap.add_argument("--slots", type=int, default=64)
+    ap.add_argument("--n", type=int, default=20)
+    args = ap.parse_args()
+
+    cfg = XTTSGPTConfig()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, kv_int8=True, unroll_layers=True)
+    params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    params = dict(params)
+    params["blocks_q8"] = jax.jit(quantize_decode_weights)(params["blocks"])
+    tb = args.bucket
+    d = cfg.hidden_size
+    print(f"backend: {jax.default_backend()}  bucket={tb} slots={args.slots}")
+
+    # ---------------- full production insert program --------------------
+    state0 = init_decode_state(cfg, args.slots, jax.random.PRNGKey(1))
+    cond = jnp.zeros((32, d), jnp.float32)
+    ids = jnp.zeros((tb - 32,), jnp.int32)
+    state_holder = [state0]
+
+    def run_full():
+        state_holder[0] = insert_sequence_tokens(
+            params, cfg, state_holder[0], cond, ids, jnp.int32(tb - 40),
+            jnp.int32(0), jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+            jnp.float32(5.0), jnp.bool_(True),
+        )
+        return state_holder[0]
+
+    t_full = timeit(run_full, lambda: (), n=args.n)
+
+    # ---------------- gpt_prefill alone ---------------------------------
+    prefill_jit = partial(
+        jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+    )(gpt_prefill)
+    cache_holder = [make_kv_cache(cfg, args.slots)]
+    embeds = jnp.zeros((tb, d), jnp.bfloat16)
+
+    def run_prefill():
+        h, cache_holder[0] = prefill_jit(
+            params, cfg, embeds, jnp.int32(tb - 8), jnp.int32(0),
+            cache_holder[0],
+        )
+        return h
+
+    t_prefill = timeit(run_prefill, lambda: (), n=args.n)
+
+    # ---------------- layers without KV writes --------------------------
+    h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
+    scale = 1.0 / math.sqrt(head_dim)
+
+    def layers(x, length, *, attention: bool, w8: bool):
+        pos = jnp.arange(tb)
+        mask = (pos[None, :] <= pos[:, None]) & (pos[None, :] < length)
+        neg = jnp.finfo(jnp.float32).min
+        for layer in range(cfg.num_hidden_layers):
+            bp = _block_params(params["blocks"], layer)
+            if w8:
+                from auralis_tpu.models.xttsv2.gpt import _dot_w8a8
+
+                bq = _block_params(params["blocks_q8"], layer)
+                dot1 = lambda v: _dot_w8a8(v, bq["attn_w_q"], bq["attn_w_s"], bp["attn_b"])
+                dot2 = lambda v: _dot_w8a8(v, bq["attn_proj_w_q"], bq["attn_proj_w_s"], bp["attn_proj_b"])
+                dot3 = lambda v: _dot_w8a8(v, bq["fc_w_q"], bq["fc_w_s"], bp["fc_b"])
+                dot4 = lambda v: _dot_w8a8(v, bq["fc_proj_w_q"], bq["fc_proj_w_s"], bp["fc_proj_b"])
+            else:
+                dot1 = lambda v: _dot(v, bp["attn_w"], bp["attn_b"])
+                dot2 = lambda v: _dot(v, bp["attn_proj_w"], bp["attn_proj_b"])
+                dot3 = lambda v: _dot(v, bp["fc_w"], bp["fc_b"])
+                dot4 = lambda v: _dot(v, bp["fc_proj_w"], bp["fc_proj_b"])
+            xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
+            qkv = dot1(xn)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if attention:
+                qh = q.reshape(tb, h_heads, head_dim)
+                kh = k.reshape(tb, h_heads, head_dim)
+                vh = v.reshape(tb, h_heads, head_dim)
+                scores = jnp.einsum(
+                    "qhd,khd->hqk", qh, kh, preferred_element_type=jnp.float32
+                ) * scale
+                scores = jnp.where(mask[None], scores, neg)
+                probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+                ctx = jnp.einsum(
+                    "hqk,khd->qhd", probs, vh, preferred_element_type=jnp.float32
+                ).reshape(tb, d).astype(x.dtype)
+            else:
+                ctx = (q + v).astype(x.dtype)  # keep q/v live, no attention
+            x = x + dot2(ctx)
+            xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
+            y = dot3(xn)
+            y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+            x = x + dot4(y)
+        return x
+
+    nokv = jax.jit(partial(layers, attention=True, w8=False))
+    mlponly = jax.jit(partial(layers, attention=False, w8=False))
+    mlponly_w8 = jax.jit(partial(layers, attention=False, w8=True))
+    nokv_w8 = jax.jit(partial(layers, attention=True, w8=True))
+
+    t_nokv = timeit(nokv, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
+    t_mlp = timeit(mlponly, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
+    t_mlp8 = timeit(mlponly_w8, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
+    t_nokv8 = timeit(nokv_w8, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
+
+    # ---------------- dispatch floor -------------------------------------
+    tiny = jnp.zeros((8,), jnp.float32)
+    bump = jax.jit(lambda v: v + 1.0)
+    t_empty = timeit(bump, lambda: (tiny,), n=args.n)
+
+    print(f"  full insert        {t_full * 1e3:7.3f} ms")
+    print(f"  gpt_prefill        {t_prefill * 1e3:7.3f} ms")
+    print(f"  layers (no KV)     {t_nokv * 1e3:7.3f} ms")
+    print(f"  matmuls only       {t_mlp * 1e3:7.3f} ms")
+    print(f"  matmuls only w8a8  {t_mlp8 * 1e3:7.3f} ms")
+    print(f"  layers w8a8 (noKV) {t_nokv8 * 1e3:7.3f} ms")
+    print(f"  dispatch floor     {t_empty * 1e3:7.3f} ms")
+    print("attribution:")
+    print(f"  state/sampler overhead (full - prefill) {(t_full - t_prefill) * 1e3:7.3f} ms")
+    print(f"  KV-write cost (prefill - noKV)          {(t_prefill - t_nokv) * 1e3:7.3f} ms")
+    print(f"  attention cost (noKV - matmuls)         {(t_nokv - t_mlp) * 1e3:7.3f} ms")
+    print(f"  matmul chain                            {t_mlp * 1e3:7.3f} ms")
+    w = sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in jax.tree.leaves(params["blocks"]))
+    flops = 2 * (tb) * 4 * cfg.num_hidden_layers * d * (3 * d + d + 2 * cfg.n_inner) / 4
+    print(f"  weight-stream floor ~{w / 819e9 * 1e3:.3f} ms; bf16 compute floor "
+          f"~{2 * tb * w / 2 / 197e12 * 1e3:.3f} ms")
+
+
+if __name__ == "__main__":
+    main()
