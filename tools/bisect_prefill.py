@@ -17,6 +17,11 @@ the implied attribution. Also A/Bs int8 (w8a8) prefill weights on the
 matmul chain to bound the bandwidth win available.
 
 Usage: python tools/bisect_prefill.py [--bucket 128] [--slots 64] [--n 20]
+       [--rungs full,prefill,nokv,mlp,mlp8,nokv8,empty]
+
+--rungs runs a subset (comma list) so a degraded remote-compile rig can
+build the ladder incrementally across invocations (the persistent cache
+carries finished rungs; a broken tunnel loses only the rung in flight).
 """
 from __future__ import annotations
 
@@ -74,7 +79,11 @@ def main():
     ap.add_argument("--bucket", type=int, default=128)
     ap.add_argument("--slots", type=int, default=64)
     ap.add_argument("--n", type=int, default=20)
+    ap.add_argument(
+        "--rungs", type=str, default="full,prefill,nokv,mlp,mlp8,nokv8,empty"
+    )
     args = ap.parse_args()
+    rungs = set(args.rungs.split(","))
 
     cfg = XTTSGPTConfig()
     import dataclasses
@@ -101,7 +110,9 @@ def main():
         )
         return state_holder[0]
 
-    t_full = timeit(run_full, lambda: (), n=args.n)
+    t_full = timeit(run_full, lambda: (), n=args.n) if "full" in rungs else None
+    if t_full is not None:
+        print(f"  full insert        {t_full * 1e3:7.3f} ms", flush=True)
 
     # ---------------- gpt_prefill alone ---------------------------------
     prefill_jit = partial(
@@ -117,7 +128,11 @@ def main():
         )
         return h
 
-    t_prefill = timeit(run_prefill, lambda: (), n=args.n)
+    t_prefill = (
+        timeit(run_prefill, lambda: (), n=args.n) if "prefill" in rungs else None
+    )
+    if t_prefill is not None:
+        print(f"  gpt_prefill        {t_prefill * 1e3:7.3f} ms", flush=True)
 
     # ---------------- layers without KV writes --------------------------
     h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
@@ -171,28 +186,33 @@ def main():
     mlponly_w8 = jax.jit(partial(layers, attention=False, w8=True))
     nokv_w8 = jax.jit(partial(layers, attention=True, w8=True))
 
-    t_nokv = timeit(nokv, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
-    t_mlp = timeit(mlponly, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
-    t_mlp8 = timeit(mlponly_w8, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
-    t_nokv8 = timeit(nokv_w8, lambda: (embeds, jnp.int32(tb - 8)), n=args.n)
+    arg = lambda: (embeds, jnp.int32(tb - 8))
+    t_nokv = timeit(nokv, arg, n=args.n) if "nokv" in rungs else None
+    if t_nokv is not None:
+        print(f"  layers (no KV)     {t_nokv * 1e3:7.3f} ms", flush=True)
+    t_mlp = timeit(mlponly, arg, n=args.n) if "mlp" in rungs else None
+    if t_mlp is not None:
+        print(f"  matmuls only       {t_mlp * 1e3:7.3f} ms", flush=True)
+    t_mlp8 = timeit(mlponly_w8, arg, n=args.n) if "mlp8" in rungs else None
+    if t_mlp8 is not None:
+        print(f"  matmuls only w8a8  {t_mlp8 * 1e3:7.3f} ms", flush=True)
+    t_nokv8 = timeit(nokv_w8, arg, n=args.n) if "nokv8" in rungs else None
+    if t_nokv8 is not None:
+        print(f"  layers w8a8 (noKV) {t_nokv8 * 1e3:7.3f} ms", flush=True)
 
     # ---------------- dispatch floor -------------------------------------
-    tiny = jnp.zeros((8,), jnp.float32)
-    bump = jax.jit(lambda v: v + 1.0)
-    t_empty = timeit(bump, lambda: (tiny,), n=args.n)
+    if "empty" in rungs:
+        tiny = jnp.zeros((8,), jnp.float32)
+        bump = jax.jit(lambda v: v + 1.0)
+        t_empty = timeit(bump, lambda: (tiny,), n=args.n)
+        print(f"  dispatch floor     {t_empty * 1e3:7.3f} ms", flush=True)
 
-    print(f"  full insert        {t_full * 1e3:7.3f} ms")
-    print(f"  gpt_prefill        {t_prefill * 1e3:7.3f} ms")
-    print(f"  layers (no KV)     {t_nokv * 1e3:7.3f} ms")
-    print(f"  matmuls only       {t_mlp * 1e3:7.3f} ms")
-    print(f"  matmuls only w8a8  {t_mlp8 * 1e3:7.3f} ms")
-    print(f"  layers w8a8 (noKV) {t_nokv8 * 1e3:7.3f} ms")
-    print(f"  dispatch floor     {t_empty * 1e3:7.3f} ms")
-    print("attribution:")
-    print(f"  state/sampler overhead (full - prefill) {(t_full - t_prefill) * 1e3:7.3f} ms")
-    print(f"  KV-write cost (prefill - noKV)          {(t_prefill - t_nokv) * 1e3:7.3f} ms")
-    print(f"  attention cost (noKV - matmuls)         {(t_nokv - t_mlp) * 1e3:7.3f} ms")
-    print(f"  matmul chain                            {t_mlp * 1e3:7.3f} ms")
+    if None not in (t_full, t_prefill, t_nokv, t_mlp):
+        print("attribution:")
+        print(f"  state/sampler overhead (full - prefill) {(t_full - t_prefill) * 1e3:7.3f} ms")
+        print(f"  KV-write cost (prefill - noKV)          {(t_prefill - t_nokv) * 1e3:7.3f} ms")
+        print(f"  attention cost (noKV - matmuls)         {(t_nokv - t_mlp) * 1e3:7.3f} ms")
+        print(f"  matmul chain                            {t_mlp * 1e3:7.3f} ms")
     w = sum(int(np.prod(v.shape)) * v.dtype.itemsize for v in jax.tree.leaves(params["blocks"]))
     flops = 2 * (tb) * 4 * cfg.num_hidden_layers * d * (3 * d + d + 2 * cfg.n_inner) / 4
     print(f"  weight-stream floor ~{w / 819e9 * 1e3:.3f} ms; bf16 compute floor "
