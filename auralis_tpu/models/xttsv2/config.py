@@ -100,6 +100,16 @@ class XTTSGPTConfig:
     # Requires `params["blocks_q8"] = quantize_decode_weights(params["blocks"])`.
     decode_w8a8: bool = False
 
+    # int8 prefill weights (W8A8 on the prompt pass): route the four prefill
+    # matmuls through the same blocks_q8 tensors decode uses — zero extra HBM
+    # when decode_w8a8/auto already materialized them. Prefill at the TTFA
+    # bucket (128 rows) is weight-stream-bound (r4 bisect: the matmul chain
+    # is the dominant rung), so halving the 0.86 GiB bf16 weight read buys
+    # latency exactly where TTFA lives. Quantization noise enters the KV
+    # cache (prefill K/V come from the w8a8 qkv dot) — fidelity pinned by
+    # tests/unit/test_prefill_w8a8.py. Default set by measured on-chip A/B.
+    prefill_w8a8: bool = False
+
     # int8 KV cache with per-(layer, slot, token) scales: halves decode's
     # KV-read bandwidth (the decode bottleneck — ~1.5x faster steps at the
     # 1024 length bound, measured tools/bench_decode_variants.py). Scores run

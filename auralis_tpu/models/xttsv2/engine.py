@@ -304,6 +304,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         vocoder_dtype=jnp.bfloat16,
         kv_int8: Optional[bool] = None,
         decode_w8a8: Optional[bool] = None,
+        prefill_w8a8: Optional[bool] = None,
         unroll_layers: Optional[bool] = None,
         slot_bucketing: Optional[bool] = None,
         conditioning_cache_size: int = 32,
@@ -386,6 +387,20 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self._w8a8_auto = False
         if decode_w8a8 is not None and decode_w8a8 != gpt_config.decode_w8a8:
             gpt_config = dataclasses.replace(gpt_config, decode_w8a8=decode_w8a8)
+        # int8 prefill weights: reuse decode's blocks_q8 (zero extra HBM when
+        # w8a8/auto already materialized it). Same TP refusal as decode_w8a8
+        # (the int8 tensors have no sharding specs). Default follows the
+        # config flag — flipped only by a measured on-chip A/B
+        # (tools/bisect_prefill.py mlp8 rung / BENCH_NOTES r4).
+        if (prefill_w8a8 or gpt_config.prefill_w8a8) and tensor_parallel_size > 1:
+            logger.warning(
+                "prefill_w8a8 is unsupported under tensor parallelism "
+                "(int8 weights would replicate per device and activation "
+                "quantization forces per-layer collectives); disabling."
+            )
+            prefill_w8a8 = False
+        if prefill_w8a8 is not None and prefill_w8a8 != gpt_config.prefill_w8a8:
+            gpt_config = dataclasses.replace(gpt_config, prefill_w8a8=prefill_w8a8)
         self.gpt_config = gpt_config
         if gpt_config.kv_int8:
             assert not gpt_config.flash_decode, (
@@ -429,7 +444,9 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
 
         self.params = params  # GPT pytree (incl. text embeddings + heads)
         if (
-            self.gpt_config.decode_w8a8 or self._w8a8_auto
+            self.gpt_config.decode_w8a8
+            or self._w8a8_auto
+            or self.gpt_config.prefill_w8a8
         ) and "blocks_q8" not in params:
             from .gpt import quantize_decode_weights
 

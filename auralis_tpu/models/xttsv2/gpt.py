@@ -129,7 +129,10 @@ def quantize_decode_weights(blocks: dict) -> dict:
 
 def _dot_w8a8(x: jax.Array, wq: jax.Array, ws: jax.Array, b: jax.Array) -> jax.Array:
     """x [S, Din] (bf16/f32) @ int8 weight [Din, Dout] with per-output-channel
-    scales [Dout]: per-row activation quantize, int8 MXU dot, rescale."""
+    scales [Dout]: per-row activation quantize, int8 MXU dot, rescale.
+    2-D only BY DESIGN: ND callers reshape to [prod(batch), Din] first —
+    keeping this jaxpr byte-stable preserves every cached decode executable
+    (the persistent compile cache keys on the traced HLO)."""
     xq, xs = _quantize_rows(x)
     y = jnp.dot(xq, wq, preferred_element_type=jnp.int32)
     yf = y.astype(jnp.float32) * xs[:, None] * ws[None, :]
@@ -240,12 +243,20 @@ def gpt_prefill(
     # causal AND key within the real prompt
     mask = (pos[None, :] <= pos[:, None]) & (pos[None, :] < length)
     neg = jnp.finfo(jnp.float32).min
+    w8 = cfg.prefill_w8a8 and "blocks_q8" in params
 
     def body(layer, carry):
         x, cache = carry
         bp = _block_params(params["blocks"], layer)
+        bq = _block_params(params["blocks_q8"], layer) if w8 else None
+
+        def mm(t, name):  # [T, Din] @ blocks[name] — w8a8 when armed
+            if w8:
+                return _dot_w8a8(t, bq[name + "_q"], bq[name + "_s"], bp[name[:-2] + "_b"])
+            return _dot(t, bp[name], bp[name[:-2] + "_b"])
+
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
-        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])  # [T, 3D]
+        qkv = mm(xn, "attn_w")  # [T, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(t_pad, h_heads, head_dim)
         k = k.reshape(t_pad, h_heads, head_dim)
@@ -267,11 +278,11 @@ def gpt_prefill(
             probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
             ctx = jnp.einsum("hqk,khd->qhd", probs, v, preferred_element_type=jnp.float32)
         ctx = ctx.reshape(t_pad, d).astype(x.dtype)
-        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+        x = x + mm(ctx, "attn_proj_w")
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
-        y = _dot(xn, bp["fc_w"], bp["fc_b"])
+        y = mm(xn, "fc_w")
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
-        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+        x = x + mm(y, "fc_proj_w")
 
         k_flat = k.reshape(t_pad, d)
         v_flat = v.reshape(t_pad, d)
@@ -332,11 +343,24 @@ def gpt_prefill_batched(
     )
     neg = jnp.finfo(jnp.float32).min
 
+    w8 = cfg.prefill_w8a8 and "blocks_q8" in params
+
     def body(layer, carry):
         x, cache = carry  # x [K, T, D]
         bp = _block_params(params["blocks"], layer)
+        bq = _block_params(params["blocks_q8"], layer) if w8 else None
+
+        def mm(t, name):  # [K, T, Din] @ blocks[name] — w8a8 when armed
+            if w8:
+                flat = _dot_w8a8(
+                    t.reshape(-1, t.shape[-1]),
+                    bq[name + "_q"], bq[name + "_s"], bp[name[:-2] + "_b"],
+                )
+                return flat.reshape(*t.shape[:-1], flat.shape[-1])
+            return _dot(t, bp[name], bp[name[:-2] + "_b"])
+
         xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
-        qkv = _dot(xn, bp["attn_w"], bp["attn_b"])  # [K, T, 3D]
+        qkv = mm(xn, "attn_w")  # [K, T, 3D]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(kb, t_pad, h_heads, head_dim)
         k = k.reshape(kb, t_pad, h_heads, head_dim)
@@ -350,11 +374,11 @@ def gpt_prefill_batched(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         )
         ctx = ctx.reshape(kb, t_pad, d).astype(x.dtype)
-        x = x + _dot(ctx, bp["attn_proj_w"], bp["attn_proj_b"])
+        x = x + mm(ctx, "attn_proj_w")
         xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
-        y = _dot(xn, bp["fc_w"], bp["fc_b"])
+        y = mm(xn, "fc_w")
         y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
-        x = x + _dot(y, bp["fc_proj_w"], bp["fc_proj_b"])
+        x = x + mm(y, "fc_proj_w")
 
         k_flat = k.reshape(kb, t_pad, d)
         v_flat = v.reshape(kb, t_pad, d)

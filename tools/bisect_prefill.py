@@ -114,6 +114,63 @@ def main():
     if t_full is not None:
         print(f"  full insert        {t_full * 1e3:7.3f} ms", flush=True)
 
+    # -------- production K=8 burst insert (warm from serving precompile) ---
+    if "burst8" in rungs:
+        from auralis_tpu.runtime.decode_loop import insert_sequences_tokens
+
+        kb = 8
+        state_b = [init_decode_state(cfg, args.slots, jax.random.PRNGKey(4))]
+        cond_b = jnp.zeros((kb, 32, d), jnp.float32)
+        ids_b = jnp.zeros((kb, tb - 32), jnp.int32)
+        n_ids_b = jnp.full((kb,), tb - 40, jnp.int32)
+        slots_b = jnp.arange(kb, dtype=jnp.int32)
+
+        def run_burst():
+            state_b[0] = insert_sequences_tokens(
+                params, cfg, state_b[0], cond_b, ids_b, n_ids_b, slots_b,
+                jnp.full((kb,), 0.75), jnp.full((kb,), 0.85),
+                jnp.full((kb,), 50, jnp.int32), jnp.full((kb,), 5.0),
+                jnp.ones((kb,), bool), jnp.zeros((kb,), jnp.int32),
+            )
+            return state_b[0]
+
+        t_burst = timeit(run_burst, lambda: (), n=args.n)
+        print(
+            f"  burst-8 insert     {t_burst * 1e3:7.3f} ms "
+            f"({t_burst * 1e3 / kb:.3f} ms/chunk)",
+            flush=True,
+        )
+
+    # ------------- insert program with the prefill body stubbed out --------
+    # isolates the insert's state machinery (assembly, sampler, seen-mask,
+    # record scatters, state pytree round-trip) from the 30-layer prefill;
+    # compiles in seconds (no transformer body)
+    if "nopf" in rungs:
+        from unittest import mock
+
+        import auralis_tpu.runtime.decode_loop as dl
+
+        def _stub_prefill(params, cfg_, embeds_, length_, slot_, cache_):
+            return embeds_[0], cache_
+
+        insert_nopf = partial(
+            jax.jit, static_argnames=("cfg",), donate_argnames=("state",)
+        )(dl._insert_body)
+        state_nopf = [init_decode_state(cfg, args.slots, jax.random.PRNGKey(3))]
+        embeds_pf = jnp.zeros((tb, d), jnp.bfloat16)
+
+        def run_nopf():
+            state_nopf[0] = insert_nopf(
+                params, cfg, state_nopf[0], embeds_pf, jnp.int32(tb - 40),
+                jnp.int32(0), jnp.float32(0.75), jnp.float32(0.85),
+                jnp.int32(50), jnp.float32(5.0), jnp.bool_(True),
+            )
+            return state_nopf[0]
+
+        with mock.patch.object(dl, "gpt_prefill", _stub_prefill):
+            t_nopf = timeit(run_nopf, lambda: (), n=args.n)
+        print(f"  insert minus prefill body {t_nopf * 1e3:7.3f} ms", flush=True)
+
     # ---------------- gpt_prefill alone ---------------------------------
     prefill_jit = partial(
         jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
