@@ -107,7 +107,10 @@ class XTTSGPTConfig:
     # is the dominant rung), so halving the 0.86 GiB bf16 weight read buys
     # latency exactly where TTFA lives. Quantization noise enters the KV
     # cache (prefill K/V come from the w8a8 qkv dot) — fidelity pinned by
-    # tests/unit/test_prefill_w8a8.py. Default set by measured on-chip A/B.
+    # tests/unit/test_prefill_w8a8.py. The config default stays False (pure
+    # functional callers opt in); the ENGINE arms it on single-chip TPU —
+    # measured production-insert A/B (BENCH_NOTES r4 verdict 6): single
+    # bucket-128 insert -13%, burst-8 -11% ms/chunk, layer stack -18%.
     prefill_w8a8: bool = False
 
     # int8 KV cache with per-(layer, slot, token) scales: halves decode's

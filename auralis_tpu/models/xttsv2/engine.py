@@ -389,9 +389,17 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             gpt_config = dataclasses.replace(gpt_config, decode_w8a8=decode_w8a8)
         # int8 prefill weights: reuse decode's blocks_q8 (zero extra HBM when
         # w8a8/auto already materialized it). Same TP refusal as decode_w8a8
-        # (the int8 tensors have no sharding specs). Default follows the
-        # config flag — flipped only by a measured on-chip A/B
-        # (tools/bisect_prefill.py mlp8 rung / BENCH_NOTES r4).
+        # (the int8 tensors have no sharding specs). Default ON for
+        # single-chip TPU, set by the measured production-insert A/B
+        # (BENCH_NOTES r4 verdict 6, tools/bisect_prefill.py): single
+        # bucket-128 insert 10.35 -> 8.96 ms (-13%), burst-8 1.702 -> 1.519
+        # ms/chunk (-11%), layer-stack device time -18%; last-hidden /
+        # KV-row SNR vs the f32 prompt pass bounded by
+        # tests/unit/test_prefill_w8a8.py.
+        if prefill_w8a8 is None and not gpt_config.prefill_w8a8:
+            prefill_w8a8 = (
+                jax.default_backend() == "tpu" and tensor_parallel_size == 1
+            )
         if (prefill_w8a8 or gpt_config.prefill_w8a8) and tensor_parallel_size > 1:
             logger.warning(
                 "prefill_w8a8 is unsupported under tensor parallelism "

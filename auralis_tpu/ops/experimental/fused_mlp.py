@@ -46,7 +46,19 @@ def _kernel(x_ref, fcw_ref, fcs_ref, fcb_ref, pjw_ref, out_ref):
 
     y = jnp.dot(xq, fcw_ref[:], preferred_element_type=jnp.int32)  # [S, TI]
     yf = y.astype(jnp.float32) * xs * fcs_ref[:] + fcb_ref[:]
-    g = jax.nn.gelu(yf, approximate=False)
+    # exact gelu: Mosaic's TC lowering implements neither erf nor erfc, so
+    # erf comes from the Abramowitz-Stegun 7.1.26 polynomial (max abs error
+    # 1.5e-7 — two decades below this kernel's int8 requantization noise)
+    z = yf * (2.0**-0.5)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    erf_az = 1.0 - poly * jnp.exp(-az * az)
+    erf_z = jnp.where(z >= 0.0, erf_az, -erf_az)
+    g = yf * 0.5 * (1.0 + erf_z)
 
     gs = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-20) / 127.0
     gq = jnp.round(g / gs).astype(jnp.int8)

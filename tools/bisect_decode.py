@@ -22,6 +22,12 @@ Run subsets with --rungs so a degraded remote-compile rig builds the ladder
 incrementally (each rung is one fresh executable; the persistent cache keeps
 finished rungs across invocations).
 
+rep* rungs (repmlp8, repmlpk, repqkv8, repattn) run K={1,8} applications of
+the chain inside one executable and report the marginal time per extra
+application — pure device time with the host-dispatch floor cancelled.
+(The `step` rung is single-dispatch; tools/bench_prod_step.py's 32-step
+blocks are the amortized production-step number.)
+
 Usage: python tools/bisect_decode.py --slots 8 --bound 256 \
            [--rungs mlp8,mlpk,qkv8,attn,step,empty] [--n 30] [--tile_i 1024]
 """
@@ -43,6 +49,7 @@ enable_persistent_compile_cache()
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from auralis_tpu.models.xttsv2.config import XTTSGPTConfig
 from auralis_tpu.models.xttsv2.gpt import (
@@ -102,10 +109,13 @@ def main():
     x0 = (0.1 * jax.random.normal(jax.random.PRNGKey(1), (s, d))).astype(jnp.bfloat16)
 
     # ------------------------------------------------ MLP chains (30 layers)
-    def mlp_chain(x, *, kernel: bool):
+    # params is an ARGUMENT (not a closure capture): closed-over weights
+    # become HLO constants and overflow the remote compile service's
+    # request-body limit (HTTP 413)
+    def mlp_chain(prm, x, *, kernel: bool):
         for layer in range(nl):
-            bp = _block_params(params["blocks"], layer)
-            bq = _block_params(params["blocks_q8"], layer)
+            bp = _block_params(prm["blocks"], layer)
+            bq = _block_params(prm["blocks_q8"], layer)
             xn = layer_norm(x, bp["ln2_scale"], bp["ln2_bias"])
             if kernel:
                 y = fused_mlp_w8(
@@ -121,17 +131,17 @@ def main():
         return x
 
     if "mlp8" in rungs:
-        t = timeit(jax.jit(partial(mlp_chain, kernel=False)), lambda: (x0,), n=args.n)
+        t = timeit(jax.jit(partial(mlp_chain, kernel=False)), lambda: (params, x0), n=args.n)
         print(f"  mlp chain XLA w8a8     {t * 1e3:7.3f} ms", flush=True)
     if "mlpk" in rungs:
-        t = timeit(jax.jit(partial(mlp_chain, kernel=True)), lambda: (x0,), n=args.n)
+        t = timeit(jax.jit(partial(mlp_chain, kernel=True)), lambda: (params, x0), n=args.n)
         print(f"  mlp chain Pallas fused {t * 1e3:7.3f} ms", flush=True)
 
     # ------------------------------------------- attention-side matmuls only
-    def qkv_chain(x):
+    def qkv_chain(prm, x):
         for layer in range(nl):
-            bp = _block_params(params["blocks"], layer)
-            bq = _block_params(params["blocks_q8"], layer)
+            bp = _block_params(prm["blocks"], layer)
+            bq = _block_params(prm["blocks_q8"], layer)
             xn = layer_norm(x, bp["ln1_scale"], bp["ln1_bias"])
             qkv = _dot_w8a8(xn, bq["attn_w_q"], bq["attn_w_s"], bp["attn_b"])
             q, k, v = jnp.split(qkv, 3, axis=-1)
@@ -140,11 +150,56 @@ def main():
         return x
 
     if "qkv8" in rungs:
-        t = timeit(jax.jit(qkv_chain), lambda: (x0,), n=args.n)
+        t = timeit(jax.jit(qkv_chain), lambda: (params, x0), n=args.n)
         print(f"  qkv+proj chain w8a8    {t * 1e3:7.3f} ms", flush=True)
 
+    # ---------- dispatch-amortized repeats (device-time isolation) ---------
+    # bench_prod_step amortizes dispatch over 32-step blocks, so its ms/step
+    # is true device time — but the single-dispatch chain rungs above carry
+    # the ~2.25 ms tunnel dispatch floor. These rungs run K={1,8} chain
+    # applications inside ONE executable (fori_loop, single HLO body) and
+    # report the marginal per-application time, which is pure device time.
+    def _marginal(tag, fn1, fn8, mk):
+        t1 = timeit(fn1, mk, n=args.n)
+        t8 = timeit(fn8, mk, n=args.n)
+        print(
+            f"  {tag} K=1 {t1 * 1e3:7.3f} ms  K=8 {t8 * 1e3:7.3f} ms"
+            f"  device/chain {(t8 - t1) / 7 * 1e3:7.3f} ms",
+            flush=True,
+        )
+
+    def chain_rep(prm, x, *, kernel, k):
+        body = lambda _, xx: mlp_chain(prm, xx, kernel=kernel)
+        return lax.fori_loop(0, k, body, x)
+
+    if "repmlp8" in rungs:
+        _marginal(
+            "rep mlp XLA w8a8   ",
+            jax.jit(partial(chain_rep, kernel=False, k=1)),
+            jax.jit(partial(chain_rep, kernel=False, k=8)),
+            lambda: (params, x0),
+        )
+    if "repmlpk" in rungs:
+        _marginal(
+            "rep mlp Pallas     ",
+            jax.jit(partial(chain_rep, kernel=True, k=1)),
+            jax.jit(partial(chain_rep, kernel=True, k=8)),
+            lambda: (params, x0),
+        )
+
+    def qkv_rep(prm, x, *, k):
+        return lax.fori_loop(0, k, lambda _, xx: qkv_chain(prm, xx), x)
+
+    if "repqkv8" in rungs:
+        _marginal(
+            "rep qkv+proj w8a8  ",
+            jax.jit(partial(qkv_rep, k=1)),
+            jax.jit(partial(qkv_rep, k=8)),
+            lambda: (params, x0),
+        )
+
     # --------------------------------- int8-KV attention body alone (30 L)
-    if "attn" in rungs:
+    if "attn" in rungs or "repattn" in rungs:
         bound = args.bound
         cache = make_kv_cache(cfg, s)
         seq_lens = jnp.full((s,), bound - 2, jnp.int32)
@@ -201,15 +256,41 @@ def main():
                 x = (x + ctx.reshape(s, d)).astype(x.dtype)
             return x, cache
 
-        attn_jit = jax.jit(attn_only, donate_argnames=("cache",))
-        holder = [cache]
+        if "attn" in rungs:
+            attn_jit = jax.jit(attn_only, donate_argnames=("cache",))
+            holder = [cache]
 
-        def run_attn():
-            out, holder[0] = attn_jit(x0, holder[0])
-            return out
+            def run_attn():
+                out, holder[0] = attn_jit(x0, holder[0])
+                return out
 
-        t = timeit(run_attn, lambda: (), n=args.n)
-        print(f"  attention body (int8)  {t * 1e3:7.3f} ms", flush=True)
+            t = timeit(run_attn, lambda: (), n=args.n)
+            print(f"  attention body (int8)  {t * 1e3:7.3f} ms", flush=True)
+
+        if "repattn" in rungs:
+            # repeats write the same cache rows each iteration — fine for
+            # bandwidth timing, the read traffic per iteration is identical
+            def attn_rep(q_in, cache, *, k):
+                def body(_, carry):
+                    return attn_only(*carry)
+
+                out, cache = lax.fori_loop(0, k, body, (q_in, cache))
+                return out, cache
+
+            h1 = [make_kv_cache(cfg, s)]
+            h8 = [make_kv_cache(cfg, s)]
+            j1 = jax.jit(partial(attn_rep, k=1), donate_argnames=("cache",))
+            j8 = jax.jit(partial(attn_rep, k=8), donate_argnames=("cache",))
+
+            def run1():
+                out, h1[0] = j1(x0, h1[0])
+                return out
+
+            def run8():
+                out, h8[0] = j8(x0, h8[0])
+                return out
+
+            _marginal("rep attn int8      ", lambda: run1(), lambda: run8(), lambda: ())
 
     # ------------------------------------------------ full production step
     if "step" in rungs:

@@ -19,6 +19,10 @@ matmul chain to bound the bandwidth win available.
 Usage: python tools/bisect_prefill.py [--bucket 128] [--slots 64] [--n 20]
        [--rungs full,prefill,nokv,mlp,mlp8,nokv8,empty]
 
+rep* rungs (repmlp, repmlp8, repnokv, repnokv8) run K={1,8} applications of
+the chain inside one executable and report the marginal time per extra
+application — pure device time with the host-dispatch floor cancelled.
+
 --rungs runs a subset (comma list) so a degraded remote-compile rig can
 build the ladder incrementally across invocations (the persistent cache
 carries finished rungs; a broken tunnel loses only the rung in flight).
@@ -82,13 +86,20 @@ def main():
     ap.add_argument(
         "--rungs", type=str, default="full,prefill,nokv,mlp,mlp8,nokv8,empty"
     )
+    ap.add_argument(
+        "--prefill_w8a8", action="store_true",
+        help="build the production rungs (full/burst8/prefill) with int8 "
+        "prompt-pass weights — A/B against a run without the flag",
+    )
     args = ap.parse_args()
     rungs = set(args.rungs.split(","))
 
     cfg = XTTSGPTConfig()
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, kv_int8=True, unroll_layers=True)
+    cfg = dataclasses.replace(
+        cfg, kv_int8=True, unroll_layers=True, prefill_w8a8=args.prefill_w8a8
+    )
     params = init_gpt_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     params = dict(params)
     params["blocks_q8"] = jax.jit(quantize_decode_weights)(params["blocks"])
@@ -195,16 +206,19 @@ def main():
     h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
     scale = 1.0 / math.sqrt(head_dim)
 
-    def layers(x, length, *, attention: bool, w8: bool):
+    # params is an ARGUMENT (not a closure capture): closed-over weights
+    # become HLO constants, and 0.9 GB of constants overflows the remote
+    # compile service's request-body limit (HTTP 413)
+    def layers(prm, x, length, *, attention: bool, w8: bool):
         pos = jnp.arange(tb)
         mask = (pos[None, :] <= pos[:, None]) & (pos[None, :] < length)
         neg = jnp.finfo(jnp.float32).min
         for layer in range(cfg.num_hidden_layers):
-            bp = _block_params(params["blocks"], layer)
+            bp = _block_params(prm["blocks"], layer)
             if w8:
                 from auralis_tpu.models.xttsv2.gpt import _dot_w8a8
 
-                bq = _block_params(params["blocks_q8"], layer)
+                bq = _block_params(prm["blocks_q8"], layer)
                 dot1 = lambda v: _dot_w8a8(v, bq["attn_w_q"], bq["attn_w_s"], bp["attn_b"])
                 dot2 = lambda v: _dot_w8a8(v, bq["attn_proj_w_q"], bq["attn_proj_w_s"], bp["attn_proj_b"])
                 dot3 = lambda v: _dot_w8a8(v, bq["fc_w_q"], bq["fc_w_s"], bp["fc_b"])
@@ -243,7 +257,7 @@ def main():
     mlponly_w8 = jax.jit(partial(layers, attention=False, w8=True))
     nokv_w8 = jax.jit(partial(layers, attention=True, w8=True))
 
-    arg = lambda: (embeds, jnp.int32(tb - 8))
+    arg = lambda: (params, embeds, jnp.int32(tb - 8))
     t_nokv = timeit(nokv, arg, n=args.n) if "nokv" in rungs else None
     if t_nokv is not None:
         print(f"  layers (no KV)     {t_nokv * 1e3:7.3f} ms", flush=True)
@@ -256,6 +270,37 @@ def main():
     t_nokv8 = timeit(nokv_w8, arg, n=args.n) if "nokv8" in rungs else None
     if t_nokv8 is not None:
         print(f"  layers w8a8 (noKV) {t_nokv8 * 1e3:7.3f} ms", flush=True)
+
+    # ---------- dispatch-amortized repeats (device-time isolation) ---------
+    # K applications of the chain inside ONE executable (lax.fori_loop with a
+    # static trip count keeps the HLO body single, so compile cost matches the
+    # single-chain rung); the marginal time per extra application is pure
+    # device time — the ~2.25 ms tunnel dispatch floor cancels in the
+    # (K=8 − K=1)/7 difference. Each iteration feeds the previous output
+    # forward, so XLA cannot collapse the repeats.
+    def layers_rep(prm, x, length, *, attention, w8, k):
+        body = lambda _, xx: layers(prm, xx, length, attention=attention, w8=w8)
+        return lax.fori_loop(0, k, body, x)
+
+    def marginal(tag, attention, w8):
+        f1 = jax.jit(partial(layers_rep, attention=attention, w8=w8, k=1))
+        f8 = jax.jit(partial(layers_rep, attention=attention, w8=w8, k=8))
+        t1 = timeit(f1, arg, n=args.n)
+        t8 = timeit(f8, arg, n=args.n)
+        print(
+            f"  {tag} K=1 {t1 * 1e3:7.3f} ms  K=8 {t8 * 1e3:7.3f} ms"
+            f"  device/chain {(t8 - t1) / 7 * 1e3:7.3f} ms",
+            flush=True,
+        )
+
+    if "repmlp" in rungs:
+        marginal("rep matmuls bf16 ", attention=False, w8=False)
+    if "repmlp8" in rungs:
+        marginal("rep matmuls w8a8 ", attention=False, w8=True)
+    if "repnokv" in rungs:
+        marginal("rep layers bf16  ", attention=True, w8=False)
+    if "repnokv8" in rungs:
+        marginal("rep layers w8a8  ", attention=True, w8=True)
 
     # ---------------- dispatch floor -------------------------------------
     if "empty" in rungs:
