@@ -383,6 +383,13 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
                 and not gpt_config.flash_decode
                 and not gpt_config.ragged_decode
             )
+            if self._w8a8_auto:
+                logger.info(
+                    "decode_w8a8 auto policy enabled (per-program int8 "
+                    "weights when KV bytes < 3x weight bytes; adds "
+                    "blocks_q8 to the params pytree — decode executables "
+                    "key on this)"
+                )
         else:
             self._w8a8_auto = False
         if decode_w8a8 is not None and decode_w8a8 != gpt_config.decode_w8a8:
@@ -397,9 +404,25 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         # KV-row SNR vs the f32 prompt pass bounded by
         # tests/unit/test_prefill_w8a8.py.
         if prefill_w8a8 is None and not gpt_config.prefill_w8a8:
+            # Auto-arm only when decode quantization was not explicitly
+            # disabled: blocks_q8 is free exactly because decode already
+            # materializes it (w8a8 auto/forced). A caller who opted out
+            # with decode_w8a8=False keeps a pure-bf16 prompt pass too —
+            # arming prefill alone would add ~0.36 GiB solely for inserts
+            # and push int8 quantization noise into the KV cache they asked
+            # to keep clean (ADVICE r4).
             prefill_w8a8 = (
-                jax.default_backend() == "tpu" and tensor_parallel_size == 1
+                jax.default_backend() == "tpu"
+                and tensor_parallel_size == 1
+                and decode_w8a8 is not False
             )
+            if prefill_w8a8:
+                logger.info(
+                    "prefill_w8a8 auto-enabled (single-chip TPU, int8 "
+                    "prompt-pass weights reuse decode's blocks_q8; "
+                    "insert-matrix executables key on this — one-time "
+                    "compile absorbed by the persistent cache)"
+                )
         if (prefill_w8a8 or gpt_config.prefill_w8a8) and tensor_parallel_size > 1:
             logger.warning(
                 "prefill_w8a8 is unsupported under tensor parallelism "

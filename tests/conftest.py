@@ -5,11 +5,16 @@ by loading conftest.py before any test module.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault(
-    "XLA_FLAGS",
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
-)
+# AURALIS_ONCHIP=1 keeps the real TPU backend so the on-chip integration
+# tier (tests/integration/test_onchip_sustained.py) can run against the
+# chip; the default is the hermetic virtual-CPU mesh.
+_ONCHIP = os.environ.get("AURALIS_ONCHIP", "") == "1"
+if not _ONCHIP:
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
+    )
 
 import hashlib
 
@@ -36,8 +41,9 @@ def _host_fingerprint() -> str:
 
 # The environment's axon site hook force-sets jax_platforms="axon,cpu" at
 # interpreter start; override it back to hermetic CPU before first backend use.
-jax.config.update("jax_platforms", "cpu")
-if os.environ.get("AURALIS_TEST_NO_CACHE", "") != "1":
+if not _ONCHIP:
+    jax.config.update("jax_platforms", "cpu")
+if not _ONCHIP and os.environ.get("AURALIS_TEST_NO_CACHE", "") != "1":
     jax.config.update(
         "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{_host_fingerprint()}"
     )

@@ -36,11 +36,12 @@ def sine_wav(path, sr=22050, seconds=1.5, f0=220.0):
     return str(path)
 
 
-def build_tiny_engine(seed: int = 0, max_concurrency: int = 4):
+def build_tiny_engine(seed: int = 0, max_concurrency: int = 4, **kwargs):
     from auralis_tpu.models.xttsv2.engine import XTTSv2Engine
 
     return XTTSv2Engine.random_init(
-        tokenizer=build_tiny_tokenizer(), seed=seed, max_concurrency=max_concurrency
+        tokenizer=build_tiny_tokenizer(), seed=seed, max_concurrency=max_concurrency,
+        **kwargs,
     )
 
 

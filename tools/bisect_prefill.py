@@ -302,6 +302,122 @@ def main():
     if "repnokv8" in rungs:
         marginal("rep layers w8a8  ", attention=True, w8=True)
 
+    # -------- rep-K marginal ladder INSIDE _insert_body (judge r4 item 2) --
+    # The r4 ladder showed the full single insert at 11.5 ms vs 4.8 ms for
+    # the gpt_prefill body alone — the wrapper costs more than the 30-layer
+    # prompt pass it wraps. This ladder attributes the wrapper: K={1,8}
+    # applications of dl._insert_body inside ONE executable (fori_loop,
+    # marginal time cancels the tunnel dispatch floor), with cumulative
+    # seam stubs — each difference between adjacent rows is one component's
+    # pure device cost:
+    #   full            everything (production graph)
+    #   -record         _record_and_advance stubbed (skip buffer scatters)
+    #   -record-samp    + sample_tokens stubbed (skip sampler)
+    #   -record-samp-h  + heads stubbed (skip logits/latent matmul)
+    #   wrapper-only    + gpt_prefill stubbed (pure state threading)
+    #   -prefill        gpt_prefill stubbed ONLY (prefill body cost = full−this)
+    if "ladder" in rungs:
+        import contextlib
+        from unittest import mock
+
+        import auralis_tpu.runtime.decode_loop as dl
+        from auralis_tpu.runtime.decode_loop import init_decode_state as _ids
+
+        embeds_l = jnp.zeros((tb, d), jnp.bfloat16)
+        num_slots = args.slots
+
+        def _stub_prefill(prm, cfg_, e_, length_, slot_, cache_):
+            return (e_[0] + length_.astype(e_.dtype)), cache_
+
+        def _stub_heads(prm, h):
+            v = prm["mel_head_b"].shape[0]
+            return (
+                jnp.broadcast_to(h[:, :1].astype(jnp.float32), (h.shape[0], v)),
+                h,
+            )
+
+        def _stub_sample(logits_, sampling_, key_):
+            toks = jnp.clip(logits_[:, 0].astype(jnp.int32), 0, 1)
+            return toks, sampling_
+
+        def _stub_record(cfg_, state, latent, tokens, sampling, cache, onehot, rng):
+            # keep every operand live through cheap reductions; skip the
+            # tokens/latents buffer scatters and counter updates
+            bump = (latent[:, 0] * 0).astype(jnp.int32) + tokens * 0
+            return state._replace(
+                cache=cache, sampling=sampling, rng=rng,
+                last_token=state.last_token + bump,
+                active=state.active | onehot,
+            )
+
+        def rep_insert(prm, st, k):
+            def body(i, s_):
+                return dl._insert_body(
+                    prm, cfg, s_, embeds_l, jnp.int32(tb - 40),
+                    (i % num_slots).astype(jnp.int32),
+                    jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+                    jnp.float32(5.0), jnp.bool_(True), jnp.int32(0),
+                )
+            return lax.fori_loop(0, k, body, st)
+
+        def ladder_row(tag, stubs):
+            ctx = mock.patch.multiple(dl, **stubs) if stubs else contextlib.nullcontext()
+            with ctx:
+                f1 = jax.jit(partial(rep_insert, k=1), donate_argnums=(1,))
+                f8 = jax.jit(partial(rep_insert, k=8), donate_argnums=(1,))
+                holder = [_ids(cfg, num_slots, jax.random.PRNGKey(7))]
+
+                def run1():
+                    holder[0] = f1(params, holder[0])
+                    return holder[0]
+
+                t1 = timeit(run1, lambda: (), n=args.n)
+
+                def run8():
+                    holder[0] = f8(params, holder[0])
+                    return holder[0]
+
+                t8 = timeit(run8, lambda: (), n=args.n)
+            marg = (t8 - t1) / 7
+            print(
+                f"  ladder {tag:16s} K=1 {t1 * 1e3:7.3f} ms  K=8 {t8 * 1e3:7.3f} ms"
+                f"  device/insert {marg * 1e3:7.3f} ms",
+                flush=True,
+            )
+            return marg
+
+        m_full = ladder_row("full", {})
+        m_norec = ladder_row("-record", {"_record_and_advance": _stub_record})
+        m_nosamp = ladder_row(
+            "-record-samp",
+            {"_record_and_advance": _stub_record, "sample_tokens": _stub_sample},
+        )
+        m_noheads = ladder_row(
+            "-record-samp-heads",
+            {
+                "_record_and_advance": _stub_record,
+                "sample_tokens": _stub_sample,
+                "heads": _stub_heads,
+            },
+        )
+        m_wrapper = ladder_row(
+            "wrapper-only",
+            {
+                "_record_and_advance": _stub_record,
+                "sample_tokens": _stub_sample,
+                "heads": _stub_heads,
+                "gpt_prefill": _stub_prefill,
+            },
+        )
+        m_nopf_only = ladder_row("-prefill", {"gpt_prefill": _stub_prefill})
+        print("ladder attribution (marginal device ms / insert):")
+        print(f"  record scatters (full - -record)         {(m_full - m_norec) * 1e3:7.3f}")
+        print(f"  sampler (-record - -record-samp)         {(m_norec - m_nosamp) * 1e3:7.3f}")
+        print(f"  heads (-record-samp - -record-samp-heads){(m_nosamp - m_noheads) * 1e3:7.3f}")
+        print(f"  prefill body (-record-samp-heads - wrap) {(m_noheads - m_wrapper) * 1e3:7.3f}")
+        print(f"  state threading (wrapper-only)           {m_wrapper * 1e3:7.3f}")
+        print(f"  prefill body check (full - -prefill)     {(m_full - m_nopf_only) * 1e3:7.3f}")
+
     # ---------------- dispatch floor -------------------------------------
     if "empty" in rungs:
         tiny = jnp.zeros((8,), jnp.float32)

