@@ -473,6 +473,17 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self.mel_bos_token_id = gpt_config.start_audio_token
         self.mel_eos_token_id = gpt_config.stop_audio_token
 
+        # boot-phase timing: the tunnel rig showed a silent multi-minute
+        # construction gap (r4 driver log: 21 min between the auto-arm logs
+        # and the MRF line) — stamp each phase so boot cost is attributable
+        _t_boot = time.perf_counter()
+
+        def _boot_mark(phase: str) -> None:
+            nonlocal _t_boot
+            now = time.perf_counter()
+            logger.info("boot: %s took %.1f s", phase, now - _t_boot)
+            _t_boot = now
+
         self.params = params  # GPT pytree (incl. text embeddings + heads)
         if (
             self.gpt_config.decode_w8a8
@@ -488,6 +499,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             self.params["blocks_q8"] = jax.jit(quantize_decode_weights)(
                 params["blocks"]
             )
+            _boot_mark("quantize_decode_weights")
         self.core = core  # conditioning + vocoder pytrees
         if vocoder_dtype is not None:
             # the generator computes in its params' dtype (MRF accumulation
@@ -510,6 +522,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             decode_slots or max(2, 2 * max_concurrency),
             slots_explicit=decode_slots is not None,
         )
+        _boot_mark("vocoder-cast + slot fit")
         if slot_bucketing is None:
             # serving default on TPU: step only the first quarter/half of the
             # slot array when the live set fits below it. Measured r3
@@ -560,6 +573,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             mesh=self.mesh,
             w8a8_policy=w8a8_policy,
         )
+        _boot_mark("DecodeEngine init (KV + state alloc)")
         if self.mesh is not None:
             # conditioning + vocoder pytrees replicate onto the mesh so their
             # jits compose with mesh-sharded decode outputs (latent rows)
@@ -589,7 +603,9 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         self._cond_cache: dict[str, tuple] = {}
         self._vocode_batcher = _VocodeBatcher(self)
         self._packed_resblocks, self._packed_stages = self._maybe_pack_resblocks()
+        _boot_mark("MRF packing")
         self.get_memory_usage_curve()
+        _boot_mark("memory curve")
 
     def _maybe_pack_resblocks(self):
         """Pre-pack HiFi-GAN MRF weights for the fused Pallas kernels
@@ -771,6 +787,7 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
         cfg = config or tiny_test_config()
         g = cfg.gpt
         keys = jax.random.split(jax.random.PRNGKey(seed), 6)
+        t0 = time.perf_counter()
         # each module init runs under ONE jit: eager init emits one tiny XLA
         # program per tensor (hundreds at full size), and on remote-compile
         # rigs every program costs a compile-server round-trip — fusing cuts
@@ -799,6 +816,11 @@ class XTTSv2Engine(BaseAsyncTTSEngine):
             )(keys[4]),
             "mel_stats": jnp.ones((80,), jnp.float32),
         }
+        jax.block_until_ready(params["wte"])
+        logger.info(
+            "boot: random weight init (5 fused programs) took %.1f s",
+            time.perf_counter() - t0,
+        )
         return cls(cfg, g, params=params, core=core, tokenizer=tokenizer,
                    cache_dtype=dtype, **kwargs)
 

@@ -292,6 +292,115 @@ def main():
 
             _marginal("rep attn int8      ", lambda: run1(), lambda: run8(), lambda: ())
 
+    # ------- attention-body variants (judge r4 item 5: the int8 body sits
+    # at 3.1x its KV-read floor; the attributed residual is the quantize-
+    # requantize chain at tiny row counts). Two reformulations, measured
+    # with the same rep-K marginal method as `repattn`:
+    #   repattnnq  keep the int8 score matmul (cache read stays int8) but
+    #              skip the PROB requantize: probs stay f32/bf16 and V is
+    #              converted to bf16 for the context matmul (materializes a
+    #              bf16 copy of the V read — trades bandwidth for VPU ops)
+    #   repattnbf  dequant-once: convert BOTH K and V reads to bf16 and run
+    #              the whole body in bf16 (no quantize chain at all; 2x-ish
+    #              read-side traffic)
+    if rungs & {"repattnnq", "repattnbf"}:
+        bound = args.bound
+        scale = 1.0 / math.sqrt(head_dim)
+        head_onehot = jnp.asarray(
+            (np.arange(d) // head_dim)[:, None] == np.arange(h_heads)[None, :],
+            jnp.float32,
+        )
+        slot_idx = jnp.arange(s)
+        seq_lens = jnp.full((s,), bound - 2, jnp.int32)
+        key_pos = jnp.arange(bound)
+        att_mask = key_pos[None, :] <= seq_lens[:, None]
+        neg = jnp.finfo(jnp.float32).min
+
+        def attn_variant(q_in, cache, *, bf16_scores: bool):
+            x = q_in
+            for layer in range(nl):
+                q = x
+                k = x
+                v = x
+                k_q, k_s = _quantize_rows(k)
+                v_q, v_s = _quantize_rows(v)
+                cache = type(cache)(
+                    cache.k.at[layer, slot_idx, seq_lens].set(k_q),
+                    cache.v.at[layer, slot_idx, seq_lens].set(v_q),
+                    cache.k_scale.at[layer, slot_idx, seq_lens].set(k_s),
+                    cache.v_scale.at[layer, slot_idx, seq_lens].set(v_s),
+                )
+                k_all = cache.k[layer, :s, :bound]
+                v_all = cache.v[layer, :s, :bound]
+                k_sc = cache.k_scale[layer, :s, :bound]
+                v_sc = cache.v_scale[layer, :s, :bound]
+                if bf16_scores:
+                    # dequant-once K: bf16 copy of the K read, bf16 matmul
+                    k_bf = (
+                        k_all.astype(jnp.bfloat16)
+                        * k_sc[:, :, None].astype(jnp.bfloat16)
+                    )
+                    qmat = (q.astype(jnp.float32) * scale)[:, :, None] * head_onehot[None]
+                    scores = jnp.einsum(
+                        "stc,sch->sht", k_bf, qmat.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    q_f = q.astype(jnp.float32).reshape(s, h_heads, head_dim)
+                    q_s = jnp.maximum(
+                        jnp.max(jnp.abs(q_f), axis=-1, keepdims=True), 1e-8
+                    ) / 127.0
+                    q_i8 = jnp.round(q_f / q_s).astype(jnp.int8).reshape(s, d)
+                    qmat = q_i8[:, :, None] * head_onehot.astype(jnp.int8)[None]
+                    scores_i = jnp.einsum(
+                        "stc,sch->sht", k_all, qmat, preferred_element_type=jnp.int32
+                    )
+                    scores = (
+                        scores_i.astype(jnp.float32)
+                        * k_sc[:, None, :]
+                        * (q_s.reshape(s, h_heads, 1) * scale)
+                    )
+                scores = jnp.where(att_mask[:, None, :], scores, neg)
+                probs = jax.nn.softmax(scores, axis=-1)
+                # no prob requantize: fold V's dequant scale into the probs
+                # and run the context matmul in bf16 against a converted V
+                pf = (probs * v_sc[:, None, :]).astype(jnp.bfloat16)
+                ctx_full = jnp.einsum(
+                    "sht,stc->shc", pf, v_all.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                ctx = jnp.sum(ctx_full * head_onehot.T[None], axis=1)
+                x = (x + ctx.reshape(s, d)).astype(x.dtype)
+            return x, cache
+
+        def rep_variant(tag, bf16_scores):
+            def rep(q_in, cache, *, k):
+                def body(_, carry):
+                    return attn_variant(*carry, bf16_scores=bf16_scores)
+
+                out, cache = lax.fori_loop(0, k, body, (q_in, cache))
+                return out, cache
+
+            h1 = [make_kv_cache(cfg, s)]
+            h8 = [make_kv_cache(cfg, s)]
+            j1 = jax.jit(partial(rep, k=1), donate_argnames=("cache",))
+            j8 = jax.jit(partial(rep, k=8), donate_argnames=("cache",))
+
+            def run1():
+                out, h1[0] = j1(x0, h1[0])
+                return out
+
+            def run8():
+                out, h8[0] = j8(x0, h8[0])
+                return out
+
+            _marginal(tag, lambda: run1(), lambda: run8(), lambda: ())
+
+        if "repattnnq" in rungs:
+            rep_variant("rep attn no-requant", bf16_scores=False)
+        if "repattnbf" in rungs:
+            rep_variant("rep attn bf16-deq  ", bf16_scores=True)
+
     # ------------------------------------------------ full production step
     if "step" in rungs:
         from auralis_tpu.runtime.decode_loop import (
