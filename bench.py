@@ -295,6 +295,19 @@ def run_short_phrase(tts, TTSRequest) -> dict:
 def main() -> None:
     from auralis_tpu import TTS, TTSRequest
 
+    # immediate stub line: if the boot/precompile phase exceeds the driver's
+    # timeout, the artifact still parses (value null = no measurement yet,
+    # never a fabricated number); each finished section then overwrites this
+    # with a complete line
+    _emit(
+        {
+            "metric": "full-pipeline RTF (wall / generated-audio-seconds)",
+            "value": None,
+            "unit": "x realtime",
+            "status": "engine boot + AOT precompile in progress",
+            "skipped_sections": ["all: boot did not finish inside the runner timeout"],
+        }
+    )
     payload, skipped = run_rtf_section()
     tts = payload.pop("_tts")
     _emit({**payload, "skipped_sections": skipped})
