@@ -46,7 +46,11 @@ def pack_resblock_weights(p: dict, kernel: int, dtype=None):
     weights with centered tap offsets (no folding; for C >= 128).
 
     Returns (convs, halo): convs = 6-tuple of (offsets, W [|o|*C, C], b [1,C])
-    in chain order (it0 conv1, it0 conv2, it1 conv1, ...)."""
+    in chain order (it0 conv1, it0 conv2, it1 conv1, ...).
+
+    Packing math runs on whatever arrays it is handed — pass HOST numpy
+    (see pack_hifigan_mrf) so reshape/astype are host ops, not one tunnel
+    round trip per conv on remote-device rigs."""
     cast = (lambda a: a.astype(dtype)) if dtype is not None else (lambda a: a)
     convs = []
     for it, (conv1, conv2) in enumerate(zip(p["convs1"], p["convs2"])):
@@ -89,8 +93,13 @@ def _fold_one_conv(w: np.ndarray, b: np.ndarray, dilation: int, fold: int):
 
 
 def fold_resblock_params(p: dict, kernel: int, fold: int, dtype=None):
-    """pack_resblock_weights for folded (F = 128/C) narrow stages."""
-    cast = (lambda a: jnp.asarray(a, dtype)) if dtype is not None else jnp.asarray
+    """pack_resblock_weights for folded (F = 128/C) narrow stages.
+
+    Packing is pure host math (numpy); results stay numpy — callers
+    device_put the finished chains in one batch (pack_hifigan_mrf)."""
+    cast = (
+        (lambda a: np.asarray(a).astype(dtype)) if dtype is not None else np.asarray
+    )
     convs = []
     for it, (conv1, conv2) in enumerate(zip(p["convs1"], p["convs2"])):
         for conv, d in ((conv1, DILATIONS[it]), (conv2, 1)):
@@ -412,6 +421,27 @@ class PackedMRFStageSplit:
         return (s / self.n_total).astype(x.dtype)
 
 
+def _device_put_packed(obj) -> None:
+    """Upload a packed object's numpy weight chains to the default device
+    in-place (async device_puts — they pipeline, unlike the per-conv
+    blocking fetches the packing itself used to issue)."""
+    if obj is None:
+        return
+    if isinstance(obj, PackedResblock):
+        obj.convs = [
+            (o, jax.device_put(w), jax.device_put(b)) for o, w, b in obj.convs
+        ]
+    elif isinstance(obj, PackedMRFStage):
+        obj.chains = [
+            [(o, jax.device_put(w), jax.device_put(b)) for o, w, b in cv]
+            for cv in obj.chains
+        ]
+    elif isinstance(obj, PackedMRFStageSplit):
+        _device_put_packed(obj.head)
+        for t in obj.tail or []:
+            _device_put_packed(t)
+
+
 def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
     """Pack a HiFi-GAN generator's full MRF (stages x kernels resblock param
     dicts, as in params['resblocks']) into the serving kernel set.
@@ -425,6 +455,12 @@ def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
     same configuration serving runs."""
     n = len(kernels)
     assert len(resblocks) % n == 0
+    # ONE blocking tree fetch up front: the packing below is pure index /
+    # reshape / fold math, and running it against device arrays issued a
+    # synchronous tunnel round trip per conv (~58 s of the measured 69 s
+    # full-size engine boot on the axon rig, r5 boot attribution) — against
+    # host numpy it is milliseconds, plus one pipelined upload at the end
+    resblocks = jax.device_get(resblocks)
     packed, stages = [], []
     for i in range(len(resblocks) // n):
         blocks = []
@@ -440,4 +476,8 @@ def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
             stages.append(split if split.viable else None)
         else:
             stages.append(stage)
+    for obj in packed:
+        _device_put_packed(obj)
+    for obj in stages:
+        _device_put_packed(obj)
     return packed, stages

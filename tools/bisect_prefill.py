@@ -108,22 +108,26 @@ def main():
     print(f"backend: {jax.default_backend()}  bucket={tb} slots={args.slots}")
 
     # ---------------- full production insert program --------------------
-    state0 = init_decode_state(cfg, args.slots, jax.random.PRNGKey(1))
-    cond = jnp.zeros((32, d), jnp.float32)
-    ids = jnp.zeros((tb - 32,), jnp.int32)
-    state_holder = [state0]
+    # decode states / caches are ~4-5 GiB each at full size: allocate ONLY
+    # what the selected rungs need, or three live copies OOM the chip
+    t_full = None
+    if "full" in rungs:
+        state0 = init_decode_state(cfg, args.slots, jax.random.PRNGKey(1))
+        cond = jnp.zeros((32, d), jnp.float32)
+        ids = jnp.zeros((tb - 32,), jnp.int32)
+        state_holder = [state0]
 
-    def run_full():
-        state_holder[0] = insert_sequence_tokens(
-            params, cfg, state_holder[0], cond, ids, jnp.int32(tb - 40),
-            jnp.int32(0), jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
-            jnp.float32(5.0), jnp.bool_(True),
-        )
-        return state_holder[0]
+        def run_full():
+            state_holder[0] = insert_sequence_tokens(
+                params, cfg, state_holder[0], cond, ids, jnp.int32(tb - 40),
+                jnp.int32(0), jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+                jnp.float32(5.0), jnp.bool_(True),
+            )
+            return state_holder[0]
 
-    t_full = timeit(run_full, lambda: (), n=args.n) if "full" in rungs else None
-    if t_full is not None:
+        t_full = timeit(run_full, lambda: (), n=args.n)
         print(f"  full insert        {t_full * 1e3:7.3f} ms", flush=True)
+        del state_holder, state0
 
     # -------- production K=8 burst insert (warm from serving precompile) ---
     if "burst8" in rungs:
@@ -183,24 +187,24 @@ def main():
         print(f"  insert minus prefill body {t_nopf * 1e3:7.3f} ms", flush=True)
 
     # ---------------- gpt_prefill alone ---------------------------------
-    prefill_jit = partial(
-        jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
-    )(gpt_prefill)
-    cache_holder = [make_kv_cache(cfg, args.slots)]
     embeds = jnp.zeros((tb, d), jnp.bfloat16)
+    t_prefill = None
+    if "prefill" in rungs:
+        prefill_jit = partial(
+            jax.jit, static_argnames=("cfg",), donate_argnames=("cache",)
+        )(gpt_prefill)
+        cache_holder = [make_kv_cache(cfg, args.slots)]
 
-    def run_prefill():
-        h, cache_holder[0] = prefill_jit(
-            params, cfg, embeds, jnp.int32(tb - 8), jnp.int32(0),
-            cache_holder[0],
-        )
-        return h
+        def run_prefill():
+            h, cache_holder[0] = prefill_jit(
+                params, cfg, embeds, jnp.int32(tb - 8), jnp.int32(0),
+                cache_holder[0],
+            )
+            return h
 
-    t_prefill = (
-        timeit(run_prefill, lambda: (), n=args.n) if "prefill" in rungs else None
-    )
-    if t_prefill is not None:
+        t_prefill = timeit(run_prefill, lambda: (), n=args.n)
         print(f"  gpt_prefill        {t_prefill * 1e3:7.3f} ms", flush=True)
+        del cache_holder
 
     # ---------------- layers without KV writes --------------------------
     h_heads, head_dim = cfg.num_attention_heads, cfg.head_dim
@@ -352,8 +356,14 @@ def main():
 
         def rep_insert(prm, st, k):
             def body(i, s_):
+                # embeds must depend on the loop index: with a loop-invariant
+                # prompt XLA hoists the ENTIRE 30-layer prefill body out of
+                # the fori_loop and the marginal measures only the KV writes
+                # + sampler (first ladder run measured 0.545 ms/insert "full"
+                # — less than the layer stack alone, the hoisting tell)
+                e_i = jnp.roll(embeds_l, i, axis=0)
                 return dl._insert_body(
-                    prm, cfg, s_, embeds_l, jnp.int32(tb - 40),
+                    prm, cfg, s_, e_i, jnp.int32(tb - 40),
                     (i % num_slots).astype(jnp.int32),
                     jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
                     jnp.float32(5.0), jnp.bool_(True), jnp.int32(0),
