@@ -631,12 +631,20 @@ class DecodeEngine:
         if isinstance(pending.embeds, TokenPrompt):
             t_disp = time.perf_counter()
             cond, ids_pad, n_ids = self._token_args(pending.embeds)
+            # ONE batched device_put for ids + the 8 sampling scalars: the
+            # previous per-argument eager jnp.int32/float32 calls cost ~4.4
+            # ms/insert on the tunnel rig (measured r5, bisect_prefill
+            # 'scalars prestaged' A/B: single insert 7.6 -> 3.2 ms wall).
+            # numpy-typed scalars produce byte-identical avals, so the
+            # insert executables do NOT re-key.
+            args = jax.device_put((
+                ids_pad, np.int32(n_ids), np.int32(slot),
+                np.float32(opts.temperature), np.float32(opts.top_p),
+                np.int32(opts.top_k), np.float32(opts.repetition_penalty),
+                np.bool_(opts.do_sample), np.int32(opts.max_new_tokens),
+            ))
             self.state = insert_sequence_tokens(
-                self.params, cfg, self.state,
-                cond, jnp.asarray(ids_pad), jnp.int32(n_ids), jnp.int32(slot),
-                jnp.float32(opts.temperature), jnp.float32(opts.top_p),
-                jnp.int32(opts.top_k), jnp.float32(opts.repetition_penalty),
-                jnp.bool_(opts.do_sample), jnp.int32(opts.max_new_tokens),
+                self.params, cfg, self.state, cond, *args,
             )
             self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
             self.stats["inserts"] += 1
@@ -657,19 +665,14 @@ class DecodeEngine:
         embeds_dev = jnp.asarray(self._pad_prompt(pending), self._prompt_dtype())
         self.stats["insert_upload_s"] += time.perf_counter() - t_up
         t_disp = time.perf_counter()
+        scalar_args = jax.device_put((
+            np.int32(pending.length), np.int32(slot),
+            np.float32(opts.temperature), np.float32(opts.top_p),
+            np.int32(opts.top_k), np.float32(opts.repetition_penalty),
+            np.bool_(opts.do_sample), np.int32(opts.max_new_tokens),
+        ))
         self.state = insert_sequence(
-            self.params,
-            cfg,
-            self.state,
-            embeds_dev,
-            jnp.int32(pending.length),
-            jnp.int32(slot),
-            jnp.float32(opts.temperature),
-            jnp.float32(opts.top_p),
-            jnp.int32(opts.top_k),
-            jnp.float32(opts.repetition_penalty),
-            jnp.bool_(opts.do_sample),
-            jnp.int32(opts.max_new_tokens),
+            self.params, cfg, self.state, embeds_dev, *scalar_args,
         )
         self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
         self.stats["inserts"] += 1
@@ -709,19 +712,23 @@ class DecodeEngine:
             n_ids = np.asarray(
                 [a[2] for a in args] + [0] * (kb - len(pairs)), np.int32
             )
-            self.state = insert_sequences_tokens(
-                self.params, self.cfg, self.state,
-                jnp.stack(conds), jnp.asarray(ids), jnp.asarray(n_ids),
-                jnp.asarray(
+            # one batched device_put for every host-built lane array (same
+            # rationale and aval-compatibility as the single-insert path)
+            lane_args = jax.device_put((
+                ids, n_ids,
+                np.asarray(
                     [s for _, s in pairs] + [self.num_slots] * (kb - len(pairs)),
-                    jnp.int32,
+                    np.int32,
                 ),
-                jnp.asarray(vec(lambda o: o.temperature, 1.0), jnp.float32),
-                jnp.asarray(vec(lambda o: o.top_p, 1.0), jnp.float32),
-                jnp.asarray(vec(lambda o: o.top_k, 1), jnp.int32),
-                jnp.asarray(vec(lambda o: o.repetition_penalty, 1.0), jnp.float32),
-                jnp.asarray(vec(lambda o: o.do_sample, False), bool),
-                jnp.asarray(vec(lambda o: o.max_new_tokens, 0), jnp.int32),
+                vec(lambda o: o.temperature, 1.0).astype(np.float32),
+                vec(lambda o: o.top_p, 1.0).astype(np.float32),
+                vec(lambda o: o.top_k, 1).astype(np.int32),
+                vec(lambda o: o.repetition_penalty, 1.0).astype(np.float32),
+                vec(lambda o: o.do_sample, False).astype(bool),
+                vec(lambda o: o.max_new_tokens, 0).astype(np.int32),
+            ))
+            self.state = insert_sequences_tokens(
+                self.params, self.cfg, self.state, jnp.stack(conds), *lane_args,
             )
             self.stats["insert_dispatch_s"] += time.perf_counter() - t_disp
             self.stats["inserts"] += len(pairs)

@@ -127,6 +127,24 @@ def main():
 
         t_full = timeit(run_full, lambda: (), n=args.n)
         print(f"  full insert        {t_full * 1e3:7.3f} ms", flush=True)
+
+        # same executable, sampling scalars staged ON DEVICE once instead of
+        # 8 eager jnp.float32/int32 ops per call — isolates how much of the
+        # single-dispatch wall is scalar-upload host cost (the production
+        # insert path builds them per call, engine_core.py:636-639)
+        sc = [jnp.int32(tb - 40), jnp.int32(0), jnp.float32(0.75),
+              jnp.float32(0.85), jnp.int32(50), jnp.float32(5.0),
+              jnp.bool_(True)]
+        jax.block_until_ready(sc[-1])
+
+        def run_full_staged():
+            state_holder[0] = insert_sequence_tokens(
+                params, cfg, state_holder[0], cond, ids, *sc,
+            )
+            return state_holder[0]
+
+        t_staged = timeit(run_full_staged, lambda: (), n=args.n)
+        print(f"  full insert (scalars prestaged) {t_staged * 1e3:7.3f} ms", flush=True)
         del state_holder, state0
 
     # -------- production K=8 burst insert (warm from serving precompile) ---
