@@ -120,6 +120,18 @@ class XTTSGPTConfig:
     # the softmax probabilities. Mutually exclusive with flash_decode.
     kv_int8: bool = False
 
+    # Small-shape int8-KV attention variant: keep the softmax probabilities
+    # in bf16 for the context matmul (V converts to bf16) instead of the
+    # fold-quantize-int8-matmul chain. At tiny row counts the requantize
+    # chain's VPU work costs more than the bf16 copy of the V read; at
+    # saturated shapes the convert's extra traffic loses. Measured r5
+    # (tools/bisect_decode.py repattnnq, 30-layer chain device ms):
+    # s8/b256 0.475 -> 0.429 (-10%), s16/b256 0.762 -> 0.715 (-6%). Only
+    # meaningful with kv_int8; quality strictly improves (one quantization
+    # step removed). Armed per decode program by the engine policy in the
+    # measured small region; config default False.
+    decode_attn_fp: bool = False
+
     # Ragged int8 Pallas flash-decode (ops/experimental/attention.py
     # ragged_decode_attention) composed with the int8 KV cache: per step each
     # slot reads only its LIVE KV rows (sum(seq_lens) traffic) instead of the

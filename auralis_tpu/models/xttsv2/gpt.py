@@ -542,20 +542,33 @@ def gpt_decode_step(
             )
             scores = jnp.where(att_mask[:, None, :], scores, neg)
             probs = jax.nn.softmax(scores, axis=-1)
-            # fold V's per-token dequant scales into the probabilities, then
-            # quantize the folded probs per (slot, head) row and run the
-            # context reduction as an int8 [H, T] x [T, HD] MXU matmul per
-            # slot: V is read ONCE in its storage dtype and no broadcast
-            # intermediate exists. (The previous broadcast-back formulation
-            # materialized a [S, bound, HD] bf16 tensor per layer — written
-            # and re-read through HBM, it was ~half the step's bandwidth.)
-            pf = probs * v_sc[:, None, :]  # [S, H, T] f32
-            p_s = jnp.maximum(jnp.max(pf, axis=-1, keepdims=True), 1e-20) / 127.0
-            p_i8 = jnp.round(pf / p_s).astype(jnp.int8)
-            ctx_full = jnp.einsum(
-                "sht,stc->shc", p_i8, v_all, preferred_element_type=jnp.int32
-            )  # every head against every lane block; FLOPs are free here
-            ctx_f = ctx_full.astype(jnp.float32) * p_s  # [S, H, HD]
+            if cfg.decode_attn_fp:
+                # small-shape variant (r5 A/B, see config): fold V's dequant
+                # scales into the probs and run the context matmul in bf16
+                # against a converted V — skips the prob requantize chain,
+                # whose VPU work at tiny row counts costs more than the
+                # bf16 copy of the V read (0.475 -> 0.429 ms/chain s8/b256)
+                pf = (probs * v_sc[:, None, :]).astype(jnp.bfloat16)
+                ctx_f = jnp.einsum(
+                    "sht,stc->shc", pf, v_all.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )  # [S, H, HD] f32
+            else:
+                # fold V's per-token dequant scales into the probabilities,
+                # then quantize the folded probs per (slot, head) row and run
+                # the context reduction as an int8 [H, T] x [T, HD] MXU
+                # matmul per slot: V is read ONCE in its storage dtype and no
+                # broadcast intermediate exists. (The previous broadcast-back
+                # formulation materialized a [S, bound, HD] bf16 tensor per
+                # layer — written and re-read through HBM, it was ~half the
+                # step's bandwidth.)
+                pf = probs * v_sc[:, None, :]  # [S, H, T] f32
+                p_s = jnp.maximum(jnp.max(pf, axis=-1, keepdims=True), 1e-20) / 127.0
+                p_i8 = jnp.round(pf / p_s).astype(jnp.int8)
+                ctx_full = jnp.einsum(
+                    "sht,stc->shc", p_i8, v_all, preferred_element_type=jnp.int32
+                )  # every head against every lane block; FLOPs are free here
+                ctx_f = ctx_full.astype(jnp.float32) * p_s  # [S, H, HD]
             # keep each head's own lane block: ctx[s, c] = ctx_f[s, head(c), c]
             ctx = jnp.sum(ctx_f * head_onehot.T[None], axis=1)
         else:

@@ -150,6 +150,18 @@ class DecodeEngine:
             if self._w8a8_policy is not None
             else cfg
         )
+        # small-shape attention variant (r5 A/B): bf16 probs/ctx instead of
+        # the prob-requantize chain wins at the measured tiny cells
+        # (s8/b256 -10%, s16/b256 -6% on the attention body) and loses at
+        # saturated shapes (the V convert doubles that read) — armed only
+        # inside the measured region, and only where the w8a8 policy is
+        # already steering (single-chip TPU auto serving)
+        self._attn_fp_max_cells = 16 * 256
+        self._cfg_w8a8_fp = (
+            dataclasses.replace(self._cfg_w8a8, decode_attn_fp=True)
+            if self._w8a8_policy is not None and cfg.kv_int8
+            else self._cfg_w8a8
+        )
         self.num_slots = num_slots
         self.steps_per_sync = steps_per_sync
         # young-block size: engines pass the smallest step count that lets
@@ -474,7 +486,11 @@ class DecodeEngine:
             return self.cfg
         lb = len_bound if len_bound is not None else self.cfg.max_seq_len
         sb = slot_bound if slot_bound is not None else self.num_slots
-        return self._cfg_w8a8 if self._w8a8_policy(lb, sb) else self.cfg
+        if not self._w8a8_policy(lb, sb):
+            return self.cfg
+        if sb * lb <= self._attn_fp_max_cells:
+            return self._cfg_w8a8_fp
+        return self._cfg_w8a8
 
     def _len_bucket(self) -> int | None:
         """Static attention-read bound: smallest bucket safely above every

@@ -201,7 +201,9 @@ def main():
     # --------------------------------- int8-KV attention body alone (30 L)
     if "attn" in rungs or "repattn" in rungs:
         bound = args.bound
-        cache = make_kv_cache(cfg, s)
+        # allocate the shared single-dispatch cache only for the rung that
+        # uses it (full-T caches are ~4.4 GiB at s64 — see the del below)
+        cache = make_kv_cache(cfg, s) if "attn" in rungs else None
         seq_lens = jnp.full((s,), bound - 2, jnp.int32)
         scale = 1.0 / math.sqrt(head_dim)
         head_onehot = jnp.asarray(
@@ -291,6 +293,10 @@ def main():
                 return out
 
             _marginal("rep attn int8      ", lambda: run1(), lambda: run8(), lambda: ())
+            # caches are ~4.4 GiB each at s64/full-T: free them before the
+            # variant rungs below allocate their own, or four live copies
+            # OOM the chip
+            del h1, h8
 
     # ------- attention-body variants (judge r4 item 5: the int8 body sits
     # at 3.1x its KV-read floor; the attributed residual is the quantize-
