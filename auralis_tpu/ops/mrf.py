@@ -455,12 +455,27 @@ def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
     same configuration serving runs."""
     n = len(kernels)
     assert len(resblocks) % n == 0
-    # ONE blocking tree fetch up front: the packing below is pure index /
-    # reshape / fold math, and running it against device arrays issued a
-    # synchronous tunnel round trip per conv (~58 s of the measured 69 s
-    # full-size engine boot on the axon rig, r5 boot attribution) — against
-    # host numpy it is milliseconds, plus one pipelined upload at the end
-    resblocks = jax.device_get(resblocks)
+    # ONE transfer up front: the packing below is pure index / reshape /
+    # fold math, and running it against device arrays issued a synchronous
+    # tunnel round trip per conv (~58 s of the measured 69 s full-size
+    # engine boot, r5 boot attribution). A tree device_get still pays one
+    # sync round trip PER LEAF (~96 leaves; measured 2.8 s in good rig
+    # weather but 245 s in bad), so the leaves are concatenated into a
+    # single device array in-graph and fetched with exactly one transfer.
+    leaves, treedef = jax.tree.flatten(resblocks)
+    if leaves and isinstance(leaves[0], jax.Array):  # device-resident tree
+        flat = jax.jit(
+            lambda ls: jnp.concatenate(
+                [jnp.ravel(l).astype(jnp.float32) for l in ls]
+            )
+        )(leaves)
+        host = np.asarray(jax.device_get(flat))
+        outs, off = [], 0
+        for leaf in leaves:
+            cnt = int(np.prod(leaf.shape))
+            outs.append(host[off:off + cnt].reshape(leaf.shape))
+            off += cnt
+        resblocks = jax.tree.unflatten(treedef, outs)
     packed, stages = [], []
     for i in range(len(resblocks) // n):
         blocks = []
