@@ -421,25 +421,71 @@ class PackedMRFStageSplit:
         return (s / self.n_total).astype(x.dtype)
 
 
-def _device_put_packed(obj) -> None:
-    """Upload a packed object's numpy weight chains to the default device
-    in-place (async device_puts — they pipeline, unlike the per-conv
-    blocking fetches the packing itself used to issue)."""
-    if obj is None:
-        return
-    if isinstance(obj, PackedResblock):
-        obj.convs = [
-            (o, jax.device_put(w), jax.device_put(b)) for o, w, b in obj.convs
-        ]
-    elif isinstance(obj, PackedMRFStage):
-        obj.chains = [
-            [(o, jax.device_put(w), jax.device_put(b)) for o, w, b in cv]
-            for cv in obj.chains
-        ]
-    elif isinstance(obj, PackedMRFStageSplit):
-        _device_put_packed(obj.head)
-        for t in obj.tail or []:
-            _device_put_packed(t)
+class _BatchUploader:
+    """Upload every packed weight array in ONE host->device transfer.
+
+    Per-array device_puts pay one tunnel round trip each (~200 arrays;
+    measured 2.8 s in good rig weather, 200 s in bad). Instead: collect the
+    numpy arrays, concatenate raveled f32 into one flat array, device_put
+    it once, and split/reshape/cast back ON DEVICE in a single jitted
+    program (compiled once, persistent-cached)."""
+
+    def __init__(self):
+        self.arrays: list = []
+
+    def add(self, a) -> int:
+        self.arrays.append(np.asarray(a))
+        return len(self.arrays) - 1
+
+    def collect(self, obj) -> None:
+        if obj is None:
+            return
+        if isinstance(obj, PackedResblock):
+            obj.convs = [
+                (o, self.add(w), self.add(b)) for o, w, b in obj.convs
+            ]
+        elif isinstance(obj, PackedMRFStage):
+            obj.chains = [
+                [(o, self.add(w), self.add(b)) for o, w, b in cv]
+                for cv in obj.chains
+            ]
+        elif isinstance(obj, PackedMRFStageSplit):
+            self.collect(obj.head)
+            for t in obj.tail or []:
+                self.collect(t)
+
+    def upload(self) -> list:
+        if not self.arrays:
+            return []
+        shapes = [a.shape for a in self.arrays]
+        dtypes = [a.dtype for a in self.arrays]
+        sizes = [int(np.prod(s)) for s in shapes]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        flat = np.concatenate([a.ravel().astype(np.float32) for a in self.arrays])
+
+        def split(f):
+            return tuple(
+                lax.dynamic_slice(f, (int(offs[i]),), (sizes[i],))
+                .reshape(shapes[i])
+                .astype(dtypes[i])
+                for i in range(len(sizes))
+            )
+
+        return list(jax.jit(split)(jax.device_put(flat)))
+
+    def assign(self, obj, devs: list) -> None:
+        if obj is None:
+            return
+        if isinstance(obj, PackedResblock):
+            obj.convs = [(o, devs[w], devs[b]) for o, w, b in obj.convs]
+        elif isinstance(obj, PackedMRFStage):
+            obj.chains = [
+                [(o, devs[w], devs[b]) for o, w, b in cv] for cv in obj.chains
+            ]
+        elif isinstance(obj, PackedMRFStageSplit):
+            self.assign(obj.head, devs)
+            for t in obj.tail or []:
+                self.assign(t, devs)
 
 
 def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
@@ -491,8 +537,14 @@ def pack_hifigan_mrf(resblocks: list, kernels, dtype=None):
             stages.append(split if split.viable else None)
         else:
             stages.append(stage)
+    up = _BatchUploader()
     for obj in packed:
-        _device_put_packed(obj)
+        up.collect(obj)
     for obj in stages:
-        _device_put_packed(obj)
+        up.collect(obj)
+    devs = up.upload()
+    for obj in packed:
+        up.assign(obj, devs)
+    for obj in stages:
+        up.assign(obj, devs)
     return packed, stages
