@@ -218,3 +218,30 @@ def test_warmup_no_precompile_skips_aot_sets():
         assert calls == {"vocoder": 1, "decode": 1}
     finally:
         tts.loop.run_until_complete(tts.shutdown())
+
+
+def test_insert_staging_avals_match_precompile(model):
+    """The batched insert staging (r5: ids + sampling scalars in ONE
+    jax.device_put, engine_core._insert) must produce avals byte-identical
+    to the jnp-constructed arguments precompile_inserts warms with —
+    otherwise every insert would silently recompile its executable at
+    serving time. Guards the numpy-dtype <-> jnp-dtype correspondence."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    staged = jax.device_put((
+        np.zeros((8,), np.int32), np.int32(3), np.int32(0),
+        np.float32(0.75), np.float32(0.85), np.int32(50),
+        np.float32(5.0), np.bool_(True), np.int32(0),
+    ))
+    warmed = (
+        jnp.zeros((8,), jnp.int32), jnp.int32(3), jnp.int32(0),
+        jnp.float32(0.75), jnp.float32(0.85), jnp.int32(50),
+        jnp.float32(5.0), jnp.bool_(True), jnp.int32(0),
+    )
+    for i, (s, w) in enumerate(zip(staged, warmed)):
+        assert s.aval == w.aval and s.dtype == w.dtype, (
+            f"arg {i}: staged aval {s.aval}/{s.dtype} != warmed {w.aval}/{w.dtype}"
+        )
