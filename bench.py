@@ -34,7 +34,11 @@ import numpy as np
 
 BASELINE_RTF = 0.02
 BENCH_START = time.time()
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+# default sized against the measured final-code wall: boot ~30 s +
+# parallel precompile ~360 s + warmup ~200 s + all four sections ~400 s
+# ≈ 17 min; 1500 s lets every section run while the progressive emission
+# still guarantees a parseable artifact if the rig turns slow
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
 
 def _emit(payload: dict) -> None:
