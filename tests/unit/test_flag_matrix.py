@@ -64,26 +64,34 @@ def _legal_combos():
         )
     )
     legal = [c for c in axes if not (c[4] and not c[0])]  # ragged needs kv_int8
-    return legal
+    # decode_attn_fp (r5): only meaningful inside the dense kv_int8 body —
+    # sweep it as an extra axis over the kv_int8 non-ragged combos
+    with_fp = [c + (False,) for c in legal]
+    with_fp += [c + (True,) for c in legal if c[0] and not c[4]]
+    return with_fp
 
 
 COMBOS = _legal_combos()
 
 
 @pytest.mark.parametrize(
-    "kv_int8,w8a8,pf_w8a8,bucketing,ragged,unroll",
+    "kv_int8,w8a8,pf_w8a8,bucketing,ragged,unroll,attn_fp",
     COMBOS,
     ids=[
         "-".join(
             n
-            for n, on in zip(("kv8", "w8a8", "pf8", "bkt", "rag", "unr"), c)
+            for n, on in zip(
+                ("kv8", "w8a8", "pf8", "bkt", "rag", "unr", "afp"), c
+            )
             if on
         )
         or "baseline"
         for c in COMBOS
     ],
 )
-def test_legal_combo_traces_and_runs(model, kv_int8, w8a8, pf_w8a8, bucketing, ragged, unroll):
+def test_legal_combo_traces_and_runs(
+    model, kv_int8, w8a8, pf_w8a8, bucketing, ragged, unroll, attn_fp
+):
     cfg, params, params_q8, prompt = model
     combo_cfg = dataclasses.replace(
         cfg,
@@ -92,6 +100,7 @@ def test_legal_combo_traces_and_runs(model, kv_int8, w8a8, pf_w8a8, bucketing, r
         prefill_w8a8=pf_w8a8,
         ragged_decode=ragged,
         unroll_layers=unroll,
+        decode_attn_fp=attn_fp,
     )
     p = params_q8 if (w8a8 or pf_w8a8) else params
 
