@@ -170,8 +170,15 @@ def run_rtf_section() -> tuple[dict, list]:
     # three timed passes, keep the best, report the spread: sampled token
     # counts (and so per-chunk fixed-cost amortization) vary run to run;
     # min-of-N reports the pipeline's capability, the spread flags rig noise
+    # a contended rig can eat most of the budget in boot/precompile (642 s
+    # measured r5); fall back to fewer timed reps rather than dying with no
+    # RTF at all — each rep is ~50 s, so require ~90 s headroom per rep
+    n_reps = 3 if _budget_left() > 270 else (2 if _budget_left() > 180 else 1)
+    if n_reps < 3:
+        print(f"[runner] budget low ({_budget_left():.0f} s left): "
+              f"{n_reps} timed rep(s) instead of 3", file=sys.stderr)
     rtfs = []
-    for _ in range(3):
+    for _ in range(n_reps):
         t0 = time.time()
         outs = tts.loop.run_until_complete(run_batch(make_requests()))
         wall = time.time() - t0
