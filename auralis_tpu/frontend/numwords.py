@@ -692,16 +692,32 @@ _POINT_WORD = {"en": "point", "es": "coma", "fr": "virgule", "de": "Komma",
 def cardinal(n: int, lang: str = "en") -> str:
     fn = _CARDINALS.get(lang.split("-")[0])
     if fn is not None:
-        return fn(int(n))
+        try:
+            return fn(int(n))
+        except (IndexError, KeyError, RecursionError):
+            # beyond the language's scale table (wild TTS input: digit
+            # strings, ids, hashes — a 300-digit run overflowed the en/ru/
+            # pl/cs/ko tables, found by the frontend fuzz) — read digit by
+            # digit the way a human reads an id number
+            return " ".join(fn(int(d)) for d in str(abs(int(n))))
     digits = _DIGIT_WORDS.get(lang.split("-")[0])
     if digits is not None:
         return " ".join(digits[int(d)] for d in str(abs(int(n))))
-    return _en_cardinal(int(n))
+    try:
+        return _en_cardinal(int(n))
+    except (IndexError, KeyError, RecursionError):
+        return " ".join(_en_cardinal(int(d)) for d in str(abs(int(n))))
 
 
 def ordinal(n: int, lang: str = "en") -> str:
     fn = _ORDINALS.get(lang.split("-")[0])
-    return fn(int(n)) if fn is not None else cardinal(n, lang)
+    if fn is None:
+        return cardinal(n, lang)
+    try:
+        return fn(int(n))
+    except (IndexError, KeyError, RecursionError):
+        # same scale-table overflow guard as cardinal()
+        return cardinal(n, lang)
 
 
 def decimal(x: float, lang: str = "en") -> str:
