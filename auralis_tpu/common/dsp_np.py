@@ -20,7 +20,11 @@ def stft_np(
     if window is None:
         window = np.hanning(n_fft + 1)[:-1]
     pad = n_fft // 2
-    xp = np.pad(x, (pad, pad), mode="reflect")
+    # numpy's reflect pad needs >= 2 samples to reflect; degenerate inputs
+    # (a truncated upload can be a single sample) zero-pad instead of
+    # crashing the request (found by the audio edge fuzz)
+    mode = "reflect" if len(x) >= 2 else "constant"
+    xp = np.pad(x, (pad, pad), mode=mode)
     n_frames = 1 + (len(xp) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = xp[idx] * window[None, :]
