@@ -56,6 +56,15 @@ class TTSOutput:
         D = stft_np(wav, n_fft=n_fft, hop=hop)
         D2 = phase_vocoder(D, rate=speed_factor, hop=hop)
         out = istft_np(D2, n_fft=n_fft, hop=hop)
+        if out.size == 0:
+            # sub-frame input at a high rate leaves the vocoder with zero
+            # frames after the centered-pad trim — fall back to a plain
+            # linear time-stretch instead of crashing (output edge fuzz)
+            n_out = max(1, int(round(len(wav) / speed_factor)))
+            out = np.interp(
+                np.linspace(0, max(len(wav) - 1, 0), n_out),
+                np.arange(len(wav)), wav,
+            )
         peak = np.abs(out).max()
         if peak > 0:
             # unconditional peak normalization is REFERENCE behavior
