@@ -406,3 +406,34 @@ def test_native_resample_matches_numpy(pair):
     got = native_audio.resample(x, a, b)
     assert got.shape == ref.shape
     assert np.abs(got - ref).max() < 1e-4
+
+
+def test_flac_decoder_survives_bit_flips():
+    """Mutation fuzz on the C++ decoder: single-byte corruptions of a valid
+    stream must either decode (harmless flip) or raise ValueError — never
+    crash the process (a decoder segfault would take the whole server down;
+    user-uploaded voice files are attacker-controlled input)."""
+    rng = np.random.default_rng(11)
+    wav = (0.4 * np.sin(np.arange(4096) / 20.0)).astype(np.float32)
+    data = bytearray(native_audio.flac_encode(wav, 22050))
+    for _ in range(200):
+        mutated = bytearray(data)
+        # corrupt 1-4 bytes anywhere in the stream (header, frame, CRC)
+        for _ in range(rng.integers(1, 5)):
+            mutated[rng.integers(0, len(mutated))] = rng.integers(0, 256)
+        try:
+            out, sr = native_audio.flac_decode(bytes(mutated))
+            assert np.isfinite(np.asarray(out)).all()
+        except ValueError:
+            pass  # rejected cleanly
+
+
+def test_flac_decoder_survives_truncation():
+    """Truncated uploads at every length prefix must raise, not crash."""
+    wav = (0.2 * np.sin(np.arange(2048) / 9.0)).astype(np.float32)
+    data = native_audio.flac_encode(wav, 22050)
+    for cut in list(range(0, min(len(data), 64))) + [len(data) // 2, len(data) - 1]:
+        try:
+            native_audio.flac_decode(data[:cut])
+        except ValueError:
+            pass
