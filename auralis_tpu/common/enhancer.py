@@ -91,10 +91,11 @@ class EnhancedAudioProcessor:
         mask = np.clip(mag - noise * cfg.noise_reduce_margin, 0.0, None)
         mask = mask / (mask + np.maximum(noise, 1e-12))
         out = istft_np(mask * D)
-        if len(out) < len(audio):
+        if out.size == 0:
             # the centered stft/istft roundtrip collapses sub-frame inputs
             # (a truncated upload) to zero length — keep them unchanged
-            # rather than deleting the reference (audio edge fuzz)
+            # rather than deleting the reference (audio edge fuzz). Ordinary
+            # inputs come back up to hop-1 samples shorter, which is fine.
             return audio
         return out[: len(audio)]
 
@@ -106,7 +107,7 @@ class EnhancedAudioProcessor:
         freqs = np.fft.rfftfreq(2048, 1.0 / cfg.sample_rate)
         boost = np.exp(-np.abs(freqs - 2000.0) / 1000.0) * cfg.enhance_amount
         out = istft_np(D * (1.0 + boost[:, None]))
-        if len(out) < len(audio):
+        if out.size == 0:
             return audio  # sub-frame input; see spectral_gating
         return out[: len(audio)]
 

@@ -43,6 +43,24 @@ def test_enhancer_survives_degenerate_audio(name):
     assert np.isfinite(out).all(), f"{name}: non-finite samples in output"
 
 
+def test_enhancer_actually_processes_normal_audio():
+    """Regression pin: the degenerate-input guards must NOT bypass
+    processing for ordinary lengths (the istft roundtrip is legitimately up
+    to hop-1 samples shorter than the input — a length-based guard silently
+    disabled spectral gating + clarity for all real audio)."""
+    rng = np.random.default_rng(3)
+    audio = (0.3 * np.sin(np.arange(22050) / 15.0)
+             + 0.05 * rng.standard_normal(22050)).astype(np.float32)
+    proc = EnhancedAudioProcessor(AudioPreprocessingConfig())
+    gated = proc.spectral_gating(audio)
+    boosted = proc.enhance_clarity(audio)
+    n = min(len(gated), len(audio))
+    assert n > 21000
+    assert not np.allclose(gated[:n], audio[:n], atol=1e-6), "gating was a no-op"
+    m = min(len(boosted), len(audio))
+    assert not np.allclose(boosted[:m], audio[:m], atol=1e-6), "clarity was a no-op"
+
+
 def test_engine_conditioning_survives_silent_reference(tmp_path):
     """A silent (but valid) speaker wav through the full pipeline."""
     from auralis_tpu import TTS, TTSRequest
