@@ -415,3 +415,33 @@ def test_chat_completions_happy_path_interleaves_audio(app, voice_b64):
     assert order.index("audio.chunk") < len(order) - 1 - order[::-1].index(
         "chat.completion.chunk"
     )
+
+
+def test_audio_speech_malformed_bodies(app):
+    """Malformed / hostile request bodies must come back as 4xx (or a clean
+    5xx for semantically-broken-but-parseable ones) — never hang or crash
+    the app. The reference returns HTTP 500 via a blanket except
+    (oai_server.py:92-93); here malformed input is rejected up front."""
+    import asyncio
+
+    async def go():
+        results = []
+        async with TestClient(TestServer(app)) as client:
+            cases = [
+                ("not json at all", {"data": b"\x00\x01binary"}),
+                ("empty object", {"json": {}}),
+                ("wrong types", {"json": {"model": 3, "input": [1, 2], "voice": 7}}),
+                ("empty input text", {"json": {"model": "x", "input": "", "voice": ["AAAA"]}}),
+                ("absurd speed", {"json": {"model": "x", "input": "hi",
+                                            "voice": ["AAAA"], "speed": -5}}),
+                ("null voice", {"json": {"model": "x", "input": "hi", "voice": None}}),
+            ]
+            for name, kw in cases:
+                resp = await client.post("/v1/audio/speech", **kw)
+                await resp.read()
+                results.append((name, resp.status))
+        return results
+
+    for name, status in asyncio.run(go()):
+        assert 400 <= status < 600, f"{name}: unexpected status {status}"
+        assert status != 200, f"{name}: malformed body was accepted"
